@@ -1,0 +1,235 @@
+"""Global assembly: deterministic scatter of element quantities into CSR.
+
+Parity: src/assembly/global.rs — symbolic + numeric CSR assembly
+(``CsrAssembler`` :27, ``CsrParAssembler`` :189), vector assembly
+(:569/:619), scalar reduction (:697/:724) and homogeneous Dirichlet BC
+application (:379/:453/:479).
+
+TPU-first design: the reference's entire write-conflict machinery —
+graph coloring (fenris-paradis/src/coloring.rs), per-color rayon barriers
+(global.rs:322), per-node mutexes during symbolic assembly (global.rs:213)
+— is replaced by a **deterministic segment-sum scatter**:
+
+* symbolic phase: one host-side ``np.unique`` over all (row, col) pairs of
+  all element blocks produces the CSR pattern *and* a precomputed flat
+  scatter index per local matrix entry (the device never searches);
+* numeric phase: ``jax.ops.segment_sum(element_matrices.ravel(), idx, nnz)``
+  — associative, deterministic, race-free by construction, and XLA lowers
+  it to an efficient sorted scatter on TPU.
+
+For solution_dim > 1 the dof pattern is the node pattern expanded into
+s × s blocks (the analogue of fenris-paradis's ``BlockAdapter``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "CsrPattern",
+    "csr_pattern",
+    "element_dof_indices",
+    "assemble_csr",
+    "assemble_vector",
+    "assemble_scalar",
+    "apply_homogeneous_dirichlet_bc_csr",
+    "apply_homogeneous_dirichlet_bc_rhs",
+    "apply_homogeneous_dirichlet_bc_matrix",
+]
+
+
+@dataclass(frozen=True)
+class CsrPattern:
+    """Symbolic CSR structure plus the element scatter map.
+
+    Attributes:
+        num_rows/num_cols: dof-level dimensions (num_nodes * solution_dim).
+        row_ptr: ``[num_rows + 1]`` int64 host array.
+        col_indices: ``[nnz]`` int32 host array, sorted within rows.
+        scatter_indices: ``[E, ndof_local, ndof_local]`` int32: position in
+            the CSR values array of each local element matrix entry.
+        rows_of_nnz: ``[nnz]`` int32 row index of every stored entry.
+        diag_positions: ``[num_rows]`` int64 position of each diagonal entry
+            (-1 if structurally absent).
+        solution_dim: block size s.
+    """
+
+    num_rows: int
+    num_cols: int
+    row_ptr: np.ndarray
+    col_indices: np.ndarray
+    scatter_indices: np.ndarray
+    rows_of_nnz: np.ndarray
+    diag_positions: np.ndarray
+    solution_dim: int
+
+    @property
+    def nnz(self) -> int:
+        return len(self.col_indices)
+
+
+def element_dof_indices(cells: np.ndarray, solution_dim: int) -> np.ndarray:
+    """Dof indices per element, node-major: dof = s * node + component.
+
+    ``cells``: [E, n] -> [E, n * s].
+    """
+    s = int(solution_dim)
+    cells = np.asarray(cells)
+    E, n = cells.shape
+    dofs = (cells[:, :, None].astype(np.int64) * s) + np.arange(s)[None, None, :]
+    return dofs.reshape(E, n * s)
+
+
+def csr_pattern(cells: np.ndarray, num_nodes: int, solution_dim: int = 1) -> CsrPattern:
+    """Symbolic assembly: CSR pattern + per-element scatter indices.
+
+    Host-side, vectorized numpy (one sort over E * (n s)^2 keys); replaces
+    the reference's two-phase hash-set symbolic assembly (global.rs:65,206).
+    """
+    s = int(solution_dim)
+    dofs = element_dof_indices(cells, s)  # [E, nd]
+    E, nd = dofs.shape
+    N = int(num_nodes) * s
+    rows = np.repeat(dofs, nd, axis=1).reshape(-1)
+    cols = np.tile(dofs, (1, nd)).reshape(-1)
+    keys = rows * np.int64(N) + cols
+    uniq_keys, inverse = np.unique(keys, return_inverse=True)
+    col_indices = (uniq_keys % N).astype(np.int32)
+    uniq_rows = (uniq_keys // N).astype(np.int64)
+    row_ptr = np.searchsorted(uniq_rows, np.arange(N + 1, dtype=np.int64))
+    scatter = inverse.astype(np.int32).reshape(E, nd, nd)
+    diag_keys = np.arange(N, dtype=np.int64) * N + np.arange(N, dtype=np.int64)
+    dpos = np.searchsorted(uniq_keys, diag_keys)
+    dpos_valid = (dpos < len(uniq_keys)) & (np.take(uniq_keys, dpos, mode="clip") == diag_keys)
+    diag_positions = np.where(dpos_valid, dpos, -1).astype(np.int64)
+    return CsrPattern(
+        num_rows=N,
+        num_cols=N,
+        row_ptr=row_ptr,
+        col_indices=col_indices,
+        scatter_indices=scatter,
+        rows_of_nnz=uniq_rows.astype(np.int32),
+        diag_positions=diag_positions,
+        solution_dim=s,
+    )
+
+
+@partial(jax.jit, static_argnames=("nnz", "num_chunks"))
+def _segment_scatter(values_flat, idx_flat, nnz: int, num_chunks: int = 1):
+    if num_chunks <= 1:
+        return jax.ops.segment_sum(values_flat, idx_flat, num_segments=nnz)
+    # Chunked accumulation bounds peak memory for huge element counts.
+    chunk = -(-values_flat.shape[0] // num_chunks)
+    pad = chunk * num_chunks - values_flat.shape[0]
+    v = jnp.pad(values_flat, (0, pad))
+    i = jnp.pad(idx_flat, (0, pad), constant_values=nnz)  # padded -> dropped
+    v = v.reshape(num_chunks, chunk)
+    i = i.reshape(num_chunks, chunk)
+
+    def body(acc, vi):
+        vals, idxs = vi
+        return acc + jax.ops.segment_sum(vals, idxs, num_segments=nnz + 1), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros(nnz + 1, values_flat.dtype), (v, i))
+    return out[:nnz]
+
+
+def assemble_csr(element_matrices, pattern: CsrPattern, num_chunks: int = 1):
+    """Numeric CSR assembly: values[nnz] from element matrices [E, nd, nd].
+
+    Deterministic segment-sum scatter (replaces global.rs:133/:314 and the
+    entire coloring subsystem).
+    """
+    idx = jnp.asarray(pattern.scatter_indices.reshape(-1))
+    vals = element_matrices.reshape(-1)
+    return _segment_scatter(vals, idx, pattern.nnz, num_chunks)
+
+
+def assemble_vector(element_vectors, dofs, num_dofs: int):
+    """Global vector from element vectors [E, nd] and dof map [E, nd].
+
+    Parity: VectorAssembler::assemble_vector (global.rs:569/:619).
+    """
+    return jax.ops.segment_sum(
+        element_vectors.reshape(-1), jnp.asarray(dofs).reshape(-1), num_segments=num_dofs
+    )
+
+
+def assemble_scalar(element_scalars):
+    """Global scalar = sum of element scalars (global.rs:697/:724)."""
+    return jnp.sum(element_scalars)
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet boundary conditions
+# ---------------------------------------------------------------------------
+
+
+def _dirichlet_scale(values, pattern: CsrPattern):
+    """First nonzero |diagonal| entry, else 1 (global.rs:390-398)."""
+    dpos = jnp.asarray(pattern.diag_positions)
+    diag = jnp.where(dpos >= 0, values[jnp.clip(dpos, 0)], 0.0)
+    nonzero = diag != 0.0
+    first = jnp.argmax(nonzero)  # first True (0 if none)
+    scale = jnp.abs(diag[first])
+    return jnp.where(jnp.any(nonzero), scale, jnp.ones((), values.dtype))
+
+
+def apply_homogeneous_dirichlet_bc_csr(values, pattern: CsrPattern, nodes, solution_dim: Optional[int] = None):
+    """Zero Dirichlet rows and columns; set their diagonals to a scale.
+
+    Symmetric row+column elimination with condition-preserving diagonal
+    scaling, exactly matching ``apply_homogeneous_dirichlet_bc_csr``
+    (global.rs:379-451) — but O(nnz) with masks instead of row visitation.
+
+    ``nodes`` are node indices; all ``solution_dim`` dofs per node are
+    constrained.  Returns the new values array.
+    """
+    s = solution_dim if solution_dim is not None else pattern.solution_dim
+    nodes = np.asarray(nodes, dtype=np.int64)
+    is_dirichlet = np.zeros(pattern.num_rows, dtype=bool)
+    for i in range(s):
+        is_dirichlet[nodes * s + i] = True
+    return _apply_dirichlet_jit(
+        values,
+        jnp.asarray(is_dirichlet),
+        jnp.asarray(pattern.rows_of_nnz.astype(np.int32)),
+        jnp.asarray(pattern.col_indices),
+        jnp.asarray(pattern.diag_positions),
+        _dirichlet_scale(values, pattern),
+    )
+
+
+@jax.jit
+def _apply_dirichlet_jit(values, is_dirichlet, rows, cols, diag_positions, scale):
+    row_d = is_dirichlet[rows]
+    col_d = is_dirichlet[cols]
+    on_diag = rows == cols
+    out = jnp.where(row_d | col_d, 0.0, values)
+    out = jnp.where(on_diag & row_d, scale, out)
+    return out
+
+
+def apply_homogeneous_dirichlet_bc_rhs(rhs, nodes, solution_dim: int = 1):
+    """Zero Dirichlet entries of a right-hand side (global.rs:479)."""
+    nodes = np.asarray(nodes, dtype=np.int64)
+    idx = (nodes[:, None] * solution_dim + np.arange(solution_dim)[None, :]).reshape(-1)
+    return rhs.at[jnp.asarray(idx)].set(0.0)
+
+
+def apply_homogeneous_dirichlet_bc_matrix(matrix, nodes, solution_dim: int = 1):
+    """Dense variant with mean |diagonal| scaling (global.rs:453-477)."""
+    nodes = np.asarray(nodes, dtype=np.int64)
+    idx = (nodes[:, None] * solution_dim + np.arange(solution_dim)[None, :]).reshape(-1)
+    idx = jnp.asarray(idx)
+    scale = jnp.mean(jnp.abs(jnp.diagonal(matrix)))
+    out = matrix.at[idx, :].set(0.0)
+    out = out.at[:, idx].set(0.0)
+    out = out.at[idx, idx].set(scale)
+    return out

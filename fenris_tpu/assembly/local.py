@@ -1,0 +1,323 @@
+"""Local (element-level) assembly as batched TPU kernels.
+
+Parity: src/assembly/local/elliptic.rs (energy :551, vector :457, matrix
+:361), mass.rs (:191), source.rs (:217) and the quadrature tables
+(quadrature_table.rs).
+
+TPU-first design: instead of the reference's per-element loop with scratch
+buffers (assembly/buffers.rs), every quantity is computed for an entire
+**block of elements at once**:
+
+* basis values/gradients are tabulated on the host once per (element type,
+  rule) and enter the jitted kernel as constants (``Tabulation``);
+* jacobians are one einsum ``[E, m, d] x [q, m, d] -> [E, q, d, d]``;
+* inverses/determinants use closed forms for d = 1, 2, 3 (batched, no LU);
+* operator evaluations (g, contraction tensor) are ``vmap``-ed pointwise
+  functions (autodiff by default, see :mod:`..operators`);
+* the quadrature reduction is an einsum that XLA maps onto the MXU.
+
+The per-quadrature-point loop of elliptic.rs:398-434 therefore becomes a
+handful of large batched contractions; the graph-coloring machinery the
+reference needs for parallel scatter is unnecessary because the global
+stage (:mod:`.global_`) uses deterministic ``segment_sum``.
+
+dtype follows the inputs (f64 in parity mode, f32/bf16 in TPU speed mode).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..reference_elements import ReferenceElement
+
+__all__ = [
+    "Tabulation",
+    "tabulate",
+    "jacobians",
+    "inv_and_det",
+    "physical_gradients",
+    "assemble_element_elliptic_matrices",
+    "assemble_element_elliptic_vectors",
+    "compute_element_elliptic_energy",
+    "assemble_element_mass_matrices",
+    "assemble_element_source_vectors",
+]
+
+
+@dataclass(frozen=True)
+class Tabulation:
+    """Host-tabulated basis data for one (element type, quadrature rule).
+
+    All arrays are float64 numpy; they are cast to the computation dtype when
+    baked into a jitted kernel.
+    """
+
+    element: ReferenceElement
+    weights: np.ndarray  # [q]
+    points: np.ndarray  # [q, d]
+    phi: np.ndarray  # [q, n]
+    dphi: np.ndarray  # [q, n, d]
+    geo_phi: np.ndarray  # [q, m]
+    geo_dphi: np.ndarray  # [q, m, d]
+
+    @property
+    def num_points(self) -> int:
+        return len(self.weights)
+
+
+def tabulate(element: ReferenceElement, rule) -> Tabulation:
+    """Tabulate basis + geometry-basis values at a rule's points."""
+    w = np.asarray(rule.weights, dtype=np.float64)
+    pts = np.asarray(rule.points, dtype=np.float64).reshape(len(w), element.ref_dim)
+    phi, dphi = element.tabulate(pts)
+    geo = element.geometry
+    if geo is element:
+        gphi, gdphi = phi, dphi
+    else:
+        gphi, gdphi = geo.tabulate(pts)
+    return Tabulation(element, w, pts, phi, dphi, gphi, gdphi)
+
+
+# ---------------------------------------------------------------------------
+# Geometry kernels
+# ---------------------------------------------------------------------------
+
+
+def jacobians(X_geo, geo_dphi):
+    """Reference jacobians J[e, q, i, j] = sum_m X[e, m, i] dphi_geo[q, m, j].
+
+    ``X_geo``: [E, m, d_space]; ``geo_dphi``: [q, m, d_ref].
+    """
+    return jnp.einsum("emi,qmj->eqij", X_geo, geo_dphi)
+
+
+def _det2(J):
+    return J[..., 0, 0] * J[..., 1, 1] - J[..., 0, 1] * J[..., 1, 0]
+
+
+def _det3(J):
+    return (
+        J[..., 0, 0] * (J[..., 1, 1] * J[..., 2, 2] - J[..., 1, 2] * J[..., 2, 1])
+        - J[..., 0, 1] * (J[..., 1, 0] * J[..., 2, 2] - J[..., 1, 2] * J[..., 2, 0])
+        + J[..., 0, 2] * (J[..., 1, 0] * J[..., 2, 1] - J[..., 1, 1] * J[..., 2, 0])
+    )
+
+
+def inv_and_det(J):
+    """Closed-form batched inverse + determinant for d in {1, 2, 3}."""
+    d = J.shape[-1]
+    if d == 1:
+        det = J[..., 0, 0]
+        inv = (1.0 / det)[..., None, None]
+        return inv, det
+    if d == 2:
+        det = _det2(J)
+        inv = (
+            jnp.stack(
+                [
+                    jnp.stack([J[..., 1, 1], -J[..., 0, 1]], axis=-1),
+                    jnp.stack([-J[..., 1, 0], J[..., 0, 0]], axis=-1),
+                ],
+                axis=-2,
+            )
+            / det[..., None, None]
+        )
+        return inv, det
+    if d == 3:
+        det = _det3(J)
+        # adjugate
+        a = J
+        cof = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1],
+                        a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2],
+                        a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1],
+                    ],
+                    axis=-1,
+                ),
+                jnp.stack(
+                    [
+                        a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2],
+                        a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0],
+                        a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2],
+                    ],
+                    axis=-1,
+                ),
+                jnp.stack(
+                    [
+                        a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0],
+                        a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1],
+                        a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0],
+                    ],
+                    axis=-1,
+                ),
+            ],
+            axis=-2,
+        )
+        inv = cof / det[..., None, None]
+        return inv, det
+    raise ValueError(f"unsupported dimension {d}")
+
+
+def physical_gradients(dphi, Jinv):
+    """Physical gradients ∇_x φ = J^{-T} ∇_ξ φ.
+
+    ``dphi``: [q, n, d]; ``Jinv``: [E, q, d, d] -> [E, q, n, d].
+    """
+    return jnp.einsum("qnk,eqki->eqni", dphi, Jinv)
+
+
+def _wdet(tab: Tabulation, detJ, dtype):
+    w = jnp.asarray(tab.weights, dtype=dtype)
+    return w[None, :] * jnp.abs(detJ)
+
+
+def _gradients_and_ugrad(X_geo, u_el, tab: Tabulation):
+    dtype = X_geo.dtype
+    gdphi = jnp.asarray(tab.geo_dphi, dtype=dtype)
+    dphi = jnp.asarray(tab.dphi, dtype=dtype)
+    J = jacobians(X_geo, gdphi)
+    Jinv, detJ = inv_and_det(J)
+    gp = physical_gradients(dphi, Jinv)  # [E, q, n, d]
+    if u_el is None:
+        G = None
+    else:
+        # G[e, q, d, s] = sum_n gp[e, q, n, d] u_el[e, n, s]
+        G = jnp.einsum("eqnd,ens->eqds", gp, u_el)
+    return gp, G, detJ
+
+
+def _eval_pointwise(fn, G, params):
+    """vmap a pointwise function of (G[d, s], params) over [E, q]."""
+    f = fn
+    for axis in (0, 0):  # vmap over q then E (params broadcast if not batched)
+        f = jax.vmap(f, in_axes=(0, _params_axes(params)))
+    return f(G, params)
+
+
+def _params_axes(params):
+    # Parameters may be None (no params), a pytree of per-(E, q) arrays, or
+    # scalars.  We broadcast scalars by mapping axis None.
+    if params is None:
+        return None
+    return jax.tree_util.tree_map(lambda x: 0 if (hasattr(x, "ndim") and x.ndim >= 2) else None, params)
+
+
+def _vmap2(fn, params):
+    """Map fn(G, params) over two leading axes of G (and params if batched)."""
+    ax = _params_axes(params)
+    inner = jax.vmap(fn, in_axes=(0, _strip_axis(ax)))
+    outer = jax.vmap(inner, in_axes=(0, ax))
+    return outer
+
+
+def _strip_axis(ax):
+    return jax.tree_util.tree_map(
+        lambda a: 0 if a == 0 else None, ax, is_leaf=lambda x: x is None
+    ) if ax is not None else None
+
+
+def compute_element_elliptic_energy(X_geo, u_el, op, params, tab: Tabulation):
+    """Total elliptic energy  sum_e ∫_e ψ(∇u)  (elliptic.rs:551).
+
+    Returns per-element energies ``[E]`` (sum for the global scalar).
+    """
+    _, G, detJ = _gradients_and_ugrad(X_geo, u_el, tab)
+    psi = _vmap2(lambda Gp, p: op.energy(Gp, p), params)(G, params)  # [E, q]
+    wdet = _wdet(tab, detJ, X_geo.dtype)
+    return jnp.einsum("eq,eq->e", wdet, psi)
+
+
+def assemble_element_elliptic_vectors(X_geo, u_el, op, params, tab: Tabulation):
+    """Element vectors f[e, n*s] with f_I = ∫ g(∇u)^T ∇φ_I (elliptic.rs:457).
+
+    Dof layout is node-major: dof = s * node + component (matching the
+    reference's reshape semantics and BC indexing).
+    """
+    gp, G, detJ = _gradients_and_ugrad(X_geo, u_el, tab)
+    gvals = _vmap2(lambda Gp, p: op.g(Gp, p), params)(G, params)  # [E, q, d, s]
+    wdet = _wdet(tab, detJ, X_geo.dtype)
+    f = jnp.einsum("eq,eqds,eqnd->ens", wdet, gvals, gp)
+    E, n = f.shape[0], f.shape[1]
+    return f.reshape(E, n * op.solution_dim)
+
+
+def assemble_element_elliptic_matrices(X_geo, u_el, op, params, tab: Tabulation):
+    """Element matrices A[e, n*s, n*s] (elliptic.rs:361).
+
+    A[(I,i),(J,j)] = ∫ ∇φ_I,k D[k,i,m,j](∇u) ∇φ_J,m with D the contraction
+    tensor; weight = quadrature weight × |det J| (elliptic.rs:423).
+    """
+    gp, G, detJ = _gradients_and_ugrad(X_geo, u_el, tab)
+    s = op.solution_dim
+    if G is None:
+        E, q = gp.shape[0], gp.shape[1]
+        d = gp.shape[-1]
+        G = jnp.zeros((E, q, d, s), dtype=gp.dtype)
+    D = _vmap2(lambda Gp, p: op.contraction(Gp, p), params)(G, params)
+    # D: [E, q, d, s, d, s]
+    wdet = _wdet(tab, detJ, X_geo.dtype)
+    A = jnp.einsum("eq,eqnk,eqkimj,eqpm->enipj", wdet, gp, D, gp)
+    E, n = A.shape[0], A.shape[1]
+    A = A.reshape(E, n * s, n * s)
+    if op.symmetric:
+        A = 0.5 * (A + jnp.swapaxes(A, 1, 2))
+    return A
+
+
+def assemble_element_mass_matrices(X_geo, density, solution_dim: int, tab: Tabulation):
+    """Element mass matrices M[(I,i),(J,j)] = ∫ ρ φ_I φ_J δ_ij (mass.rs:191).
+
+    ``density``: scalar or ``[E, q]`` per-quadrature-point values (the
+    reference's ``Density<T>`` quadrature data).
+    """
+    dtype = X_geo.dtype
+    gdphi = jnp.asarray(tab.geo_dphi, dtype=dtype)
+    phi = jnp.asarray(tab.phi, dtype=dtype)
+    J = jacobians(X_geo, gdphi)
+    _, detJ = inv_and_det(J)
+    wdet = _wdet(tab, detJ, dtype)
+    rho = jnp.asarray(density, dtype=dtype)
+    if rho.ndim == 0:
+        scale = wdet * rho
+    else:
+        scale = wdet * rho
+    Mn = jnp.einsum("eq,qn,qm->enm", scale, phi, phi)  # [E, n, n]
+    if solution_dim == 1:
+        return Mn
+    s = solution_dim
+    eye = jnp.eye(s, dtype=dtype)
+    E, n = Mn.shape[0], Mn.shape[1]
+    return jnp.einsum("enm,ij->enimj", Mn, eye).reshape(E, n * s, n * s)
+
+
+def assemble_element_source_vectors(
+    X_geo, source: Callable, params, solution_dim: int, tab: Tabulation
+):
+    """Element source vectors b[e, (I,i)] = ∫ f(x)_i φ_I (source.rs:217).
+
+    ``source(x[d_space], params) -> [s]`` is evaluated at physical quadrature
+    points mapped through the (subparametric) geometry basis, matching the
+    reference where ``map_reference_coords`` delegates to the corner element.
+    """
+    dtype = X_geo.dtype
+    gphi = jnp.asarray(tab.geo_phi, dtype=dtype)
+    gdphi = jnp.asarray(tab.geo_dphi, dtype=dtype)
+    phi = jnp.asarray(tab.phi, dtype=dtype)
+    J = jacobians(X_geo, gdphi)
+    _, detJ = inv_and_det(J)
+    wdet = _wdet(tab, detJ, dtype)
+    x = jnp.einsum("qm,emd->eqd", gphi, X_geo)  # [E, q, d_space]
+    fvals = _vmap2(lambda xp, p: jnp.atleast_1d(source(xp, p)), params)(x, params)
+    # fvals: [E, q, s]
+    b = jnp.einsum("eq,eqs,qn->ens", wdet, fvals, phi)
+    E, n = b.shape[0], b.shape[1]
+    return b.reshape(E, n * solution_dim)

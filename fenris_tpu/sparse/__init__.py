@@ -1,0 +1,90 @@
+"""Sparse linear algebra: CSR matrices, SpMV, and iterative solvers.
+
+Parity: fenris-sparse — matrix-free ``LinearOperator`` (cg.rs:15),
+preconditioned Conjugate Gradient with pluggable stopping criteria and a
+failure taxonomy (cg.rs:196-450), parallel CSR row access (sparse.rs).
+
+TPU-first design: a CSR matrix is a NamedTuple of device arrays; SpMV is a
+gather + segment-sum over a row-expansion (XLA path) with an ELL-padded
+Pallas kernel for the speed-of-light path (:mod:`..ops.spmv`).  A linear
+operator is simply a callable ``v -> A v`` so matrix-free operator
+application (composing local assembly kernels without materializing CSR)
+plugs into the same CG.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cg import CgResult, conjugate_gradient
+
+__all__ = ["CsrMatrix", "spmv", "conjugate_gradient", "CgResult", "to_dense", "from_pattern"]
+
+
+class CsrMatrix(NamedTuple):
+    """CSR sparse matrix as device arrays.
+
+    ``row_ptr``: [nrows + 1] int32/int64; ``col_indices``: [nnz] int32;
+    ``values``: [nnz]; plus static shape metadata.
+    """
+
+    row_ptr: jnp.ndarray
+    col_indices: jnp.ndarray
+    values: jnp.ndarray
+    shape: tuple
+
+    @property
+    def nnz(self) -> int:
+        return self.col_indices.shape[0]
+
+    def __matmul__(self, v):
+        return spmv(self, v)
+
+    def diagonal(self):
+        """Structural diagonal values (0 where absent)."""
+        n = self.shape[0]
+        rows = _rows_of_nnz(self)
+        on_diag = self.col_indices == rows
+        return jax.ops.segment_sum(
+            jnp.where(on_diag, self.values, 0.0), rows, num_segments=n
+        )
+
+
+def from_pattern(pattern, values) -> CsrMatrix:
+    """Build a CsrMatrix from an assembly :class:`~..assembly.global_.CsrPattern`."""
+    return CsrMatrix(
+        row_ptr=jnp.asarray(pattern.row_ptr),
+        col_indices=jnp.asarray(pattern.col_indices),
+        values=values,
+        shape=(pattern.num_rows, pattern.num_cols),
+    )
+
+
+def _rows_of_nnz(m: CsrMatrix):
+    """Row index of every stored entry, derived from row_ptr on device."""
+    n = m.shape[0]
+    # rows[k] = number of row starts <= k  - 1
+    return (
+        jnp.searchsorted(m.row_ptr[1:], jnp.arange(m.nnz), side="right")
+    ).astype(jnp.int32)
+
+
+def spmv(m: CsrMatrix, v):
+    """CSR sparse matrix-vector product via gather + segment-sum.
+
+    Deterministic and fusion-friendly; for the peak-bandwidth path see the
+    Pallas ELL kernel in :mod:`fenris_tpu.ops.spmv`.
+    """
+    rows = _rows_of_nnz(m)
+    prod = m.values * v[m.col_indices]
+    return jax.ops.segment_sum(prod, rows, num_segments=m.shape[0])
+
+
+def to_dense(m: CsrMatrix):
+    rows = _rows_of_nnz(m)
+    out = jnp.zeros(m.shape, dtype=m.values.dtype)
+    return out.at[rows, m.col_indices].add(m.values)

@@ -1,0 +1,141 @@
+"""Jitted preconditioned Conjugate Gradient.
+
+Parity: fenris-sparse/src/cg.rs — builder-configured PCG (:196) with
+pluggable stopping criterion (``RelativeResidualCriterion`` :85: approximate
+residual ||r|| <= tol * ||b||), workspace reuse (:128) and the failure
+taxonomy ``SolveErrorKind`` (:279): indefinite operator (p·Ap <= 0),
+indefinite preconditioner (r·z < 0), max iterations.
+
+TPU-first: the solve loop is a single ``lax.while_loop`` under ``jit`` — no
+host round-trips per iteration; status is carried as an int code so the
+whole Newton/CG stack stays on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["conjugate_gradient", "CgResult", "CG_CONVERGED", "CG_MAX_ITER", "CG_INDEFINITE_OPERATOR", "CG_INDEFINITE_PRECONDITIONER"]
+
+CG_CONVERGED = 0
+CG_MAX_ITER = 1
+CG_INDEFINITE_OPERATOR = 2
+CG_INDEFINITE_PRECONDITIONER = 3
+
+
+class CgResult(NamedTuple):
+    """Solution plus solve metadata (cf. ``CgOutput``, cg.rs:349)."""
+
+    x: jnp.ndarray
+    num_iterations: jnp.ndarray  # int32 scalar
+    status: jnp.ndarray  # int32 scalar, one of the CG_* codes
+    residual_norm: jnp.ndarray
+
+
+def _as_operator(op) -> Callable:
+    if callable(op):
+        return op
+    # CsrMatrix: precompute row indices once so the loop body is pure
+    # gather/segment-sum (no per-iteration searchsorted).
+    from . import CsrMatrix
+
+    if isinstance(op, CsrMatrix):
+        rows = jnp.searchsorted(
+            op.row_ptr[1:], jnp.arange(op.nnz), side="right"
+        ).astype(jnp.int32)
+        n = op.shape[0]
+
+        def matvec(v):
+            return jax.ops.segment_sum(
+                op.values * v[op.col_indices], rows, num_segments=n
+            )
+
+        return matvec
+    raise TypeError(f"unsupported operator type {type(op)}")
+
+
+def conjugate_gradient(
+    operator,
+    rhs,
+    x0: Optional[jnp.ndarray] = None,
+    preconditioner=None,
+    rel_tolerance: float = 1e-8,
+    max_iter: Optional[int] = None,
+    check_definiteness: bool = True,
+) -> CgResult:
+    """Solve ``A x = b`` for SPD ``A`` with (optionally preconditioned) CG.
+
+    ``operator``/``preconditioner`` may be CsrMatrix or callables ``v -> Av``.
+    Stopping criterion: ``||r_k|| <= rel_tolerance * ||b||`` using the
+    approximate (recursively updated) residual, matching
+    ``RelativeResidualCriterion`` (cg.rs:107-125).
+    """
+    A = _as_operator(operator)
+    M = _as_operator(preconditioner) if preconditioner is not None else None
+    b = jnp.asarray(rhs)
+    n = b.shape[0]
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if max_iter is None:
+        max_iter = 10 * n
+
+    return _cg_loop(A, M, b, x0, rel_tolerance, int(max_iter), bool(check_definiteness))
+
+
+def _cg_loop(A, M, b, x0, rel_tolerance, max_iter, check_definiteness):
+    # Note: not jitted here — `lax.while_loop` compiles the loop body once
+    # per call even eagerly, and callers embed this in an outer jit (where
+    # A/M close over traced arrays) for end-to-end compilation.
+    dtype = b.dtype
+    b_norm = jnp.linalg.norm(b)
+    tol = jnp.asarray(rel_tolerance, dtype) * b_norm
+
+    r0 = b - A(x0)
+    z0 = M(r0) if M is not None else r0
+    rz0 = jnp.vdot(r0, z0)
+
+    def cond(state):
+        x, r, z, p, rz, k, status = state
+        running = status < 0
+        return running & (k < max_iter)
+
+    def body(state):
+        x, r, z, p, rz, k, status = state
+        Ap = A(p)
+        pAp = jnp.vdot(p, Ap)
+        bad_op = check_definiteness & (pAp <= 0.0) & (jnp.linalg.norm(p) > 0.0)
+        alpha = rz / pAp
+        x1 = x + alpha * p
+        r1 = r - alpha * Ap
+        z1 = M(r1) if M is not None else r1
+        rz1 = jnp.vdot(r1, z1)
+        bad_prec = check_definiteness & (rz1 < 0.0)
+        beta = rz1 / rz
+        p1 = z1 + beta * p
+        r1n = jnp.linalg.norm(r1)
+        converged = r1n <= tol
+        new_status = jnp.where(
+            bad_op,
+            CG_INDEFINITE_OPERATOR,
+            jnp.where(
+                converged,
+                CG_CONVERGED,
+                jnp.where(bad_prec, CG_INDEFINITE_PRECONDITIONER, -1),
+            ),
+        ).astype(jnp.int32)
+        # On a bad operator step, keep the previous iterate.
+        x1 = jnp.where(bad_op, x, x1)
+        r1 = jnp.where(bad_op, r, r1)
+        return (x1, r1, z1, p1, rz1, k + 1, new_status)
+
+    init_status = jnp.where(
+        jnp.linalg.norm(r0) <= tol, CG_CONVERGED, -1
+    ).astype(jnp.int32)
+    state = (x0, r0, z0, z0, rz0, jnp.zeros((), jnp.int32), init_status)
+    x, r, z, p, rz, k, status = jax.lax.while_loop(cond, body, state)
+    status = jnp.where(status < 0, CG_MAX_ITER, status).astype(jnp.int32)
+    return CgResult(x=x, num_iterations=k, status=status, residual_norm=jnp.linalg.norm(r))
