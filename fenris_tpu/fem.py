@@ -1,0 +1,149 @@
+"""High-level FEM workflows: assemble → constrain → solve → estimate error.
+
+The generalized Poisson pipeline mirrors the reference's example/test flow
+(examples/poisson2d.rs:17, tests/convergence_tests/poisson_mms_common.rs:173
+``solve_poisson``) with the TPU-native stack underneath: batched element
+kernels, segment-sum CSR scatter, jitted preconditioned CG.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import quadrature as quad
+from .assembly import global_ as G
+from .assembly import local as L
+from .error import estimate_H1_seminorm_error, estimate_L2_error
+from .mesh import Mesh
+from .operators import EllipticOperator, LaplaceOperator
+from .sparse import CsrMatrix, from_pattern
+from .sparse.cg import conjugate_gradient
+
+__all__ = ["FemSpace", "assemble_poisson_system", "solve_poisson", "PoissonResult"]
+
+
+@dataclass(frozen=True)
+class FemSpace:
+    """Device-resident assembly view of a mesh.
+
+    Precomputes the gathered geometry/full node coordinate blocks and the
+    dof-level CSR pattern (host-side symbolic assembly).
+    """
+
+    mesh: Mesh
+    solution_dim: int
+    X_geo: jnp.ndarray  # [E, m, d]
+    X_full: jnp.ndarray  # [E, n, d]
+    dofs: jnp.ndarray  # [E, n*s]
+    pattern: G.CsrPattern
+
+    @staticmethod
+    def create(mesh: Mesh, solution_dim: int = 1, dtype=None) -> "FemSpace":
+        dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        m = mesh.element.geometry.num_nodes
+        Xf = jnp.asarray(mesh.cell_points(), dtype=dtype)
+        return FemSpace(
+            mesh=mesh,
+            solution_dim=solution_dim,
+            X_geo=Xf[:, :m, :],
+            X_full=Xf,
+            dofs=jnp.asarray(G.element_dof_indices(mesh.cells, solution_dim)),
+            pattern=G.csr_pattern(mesh.cells, mesh.num_vertices, solution_dim),
+        )
+
+    @property
+    def num_dofs(self) -> int:
+        return self.pattern.num_rows
+
+    def local_dofs(self, u) -> jnp.ndarray:
+        """Gather per-element local dofs [E, n, s] from a global vector."""
+        n = self.mesh.element.num_nodes
+        s = self.solution_dim
+        return u[self.dofs].reshape(-1, n, s)
+
+
+class PoissonResult(NamedTuple):
+    u: jnp.ndarray
+    l2_error: Optional[float]
+    h1_seminorm_error: Optional[float]
+    cg_iterations: int
+
+
+def assemble_poisson_system(
+    space: FemSpace,
+    rule,
+    source: Callable,
+    operator: Optional[EllipticOperator] = None,
+    dirichlet_nodes=None,
+):
+    """Assemble the (BC-constrained) linear system for -div g(∇u) = f.
+
+    Mirrors ``assemble_linear_system`` (poisson_mms_common.rs:70): elliptic
+    matrix with the given operator (default Laplace), source vector, then
+    symmetric homogeneous Dirichlet elimination.
+    """
+    op = operator or LaplaceOperator()
+    tab = L.tabulate(space.mesh.element, rule)
+    E = space.mesh.num_cells
+    n = space.mesh.element.num_nodes
+    u0 = jnp.zeros((E, n, op.solution_dim), dtype=space.X_geo.dtype)
+    A_el = L.assemble_element_elliptic_matrices(space.X_geo, u0, op, None, tab)
+    values = G.assemble_csr(A_el, space.pattern)
+    b_el = L.assemble_element_source_vectors(
+        space.X_geo, source, None, op.solution_dim, tab
+    )
+    b = G.assemble_vector(b_el, space.dofs, space.num_dofs)
+    if dirichlet_nodes is not None and len(dirichlet_nodes):
+        values = G.apply_homogeneous_dirichlet_bc_csr(
+            values, space.pattern, dirichlet_nodes
+        )
+        b = G.apply_homogeneous_dirichlet_bc_rhs(b, dirichlet_nodes, space.solution_dim)
+    return from_pattern(space.pattern, values), b
+
+
+def solve_poisson(
+    mesh: Mesh,
+    rule,
+    error_rule,
+    source: Callable,
+    u_exact: Optional[Callable] = None,
+    u_exact_grad: Optional[Callable] = None,
+    dirichlet_nodes=None,
+    rel_tolerance: float = 1e-9,
+    max_iter: int = 10000,
+) -> PoissonResult:
+    """End-to-end Poisson solve + optional error estimation.
+
+    Parity: poisson_mms_common.rs:173 (``solve_poisson``) — Jacobi-
+    preconditioned CG at 1e-9 relative residual (:142-163), then L²/H¹
+    error by high-order quadrature.
+    """
+    space = FemSpace.create(mesh)
+    A, b = assemble_poisson_system(space, rule, source, dirichlet_nodes=dirichlet_nodes)
+    diag = A.diagonal()
+    inv_diag = jnp.where(diag != 0.0, 1.0 / diag, 1.0)
+    res = conjugate_gradient(
+        A,
+        b,
+        preconditioner=lambda v: inv_diag * v,
+        rel_tolerance=rel_tolerance,
+        max_iter=max_iter,
+    )
+    u = res.x
+    l2 = h1 = None
+    if u_exact is not None:
+        tab_err = L.tabulate(mesh.element, error_rule)
+        u_el = space.local_dofs(u)
+        l2 = float(estimate_L2_error(space.X_geo, u_el, u_exact, tab_err))
+        if u_exact_grad is not None:
+            h1 = float(
+                estimate_H1_seminorm_error(space.X_geo, u_el, u_exact_grad, tab_err)
+            )
+    return PoissonResult(
+        u=u, l2_error=l2, h1_seminorm_error=h1, cg_iterations=int(res.num_iterations)
+    )

@@ -95,7 +95,7 @@ def convert_mesh(mesh: Mesh, target) -> Mesh:
         wq = np.round(wsorted * (3**6 * 2**10)).astype(np.int64)
         keys[:, t, 0 : 2 * len(ls) : 2] = parents_sorted
         keys[:, t, 1 : 2 * len(ls) : 2] = wq
-        coords[:, t, :] = np.einsum("ep,epd->ed", wsorted, pts[parents, :])
+        coords[:, t, :] = np.einsum("ep,epd->ed", wsorted, pts[parents_sorted, :])
 
     flat_keys = keys.reshape(E * n_t, -1)
     uniq, inverse = np.unique(flat_keys, axis=0, return_inverse=True)

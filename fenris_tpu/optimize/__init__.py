@@ -1,0 +1,181 @@
+"""Nonlinear solvers: Newton's method with line search, FD calculus helpers.
+
+Parity: fenris-optimize — ``newton`` (newton.rs:61), ``newton_line_search``
+(:77) with ``NewtonSettings`` (:21), ``NoLineSearch`` (:146),
+``BacktrackingLineSearch`` (Armijo, :172 — alpha schedule
+1, 0.75, 0.5, 0.25, 0.25², …, condition g(x+αp) ≤ (1 - cα) g(x) with
+c = 1e-4, alpha_min = 1e-6); finite-difference helpers from calculus.rs
+(``approximate_jacobian_fd`` :266, ``approximate_gradient_fd`` :205).
+
+TPU-first: the driver loop is a jit-compatible ``lax.while_loop`` with the
+residual evaluation and linear solve provided as callables (typically the
+batched assembly kernels + CG), so an entire Newton solve is one XLA
+computation with no host round-trips.  A Python-loop variant is provided
+for host-side control (adaptive tolerances, logging).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "NewtonResult",
+    "newton",
+    "newton_line_search",
+    "backtracking_alphas",
+    "approximate_jacobian_fd",
+    "approximate_gradient_fd",
+    "NEWTON_CONVERGED",
+    "NEWTON_MAX_ITER",
+    "NEWTON_LINE_SEARCH_FAILED",
+]
+
+NEWTON_CONVERGED = 0
+NEWTON_MAX_ITER = 1
+NEWTON_LINE_SEARCH_FAILED = 2
+
+
+class NewtonResult(NamedTuple):
+    x: jnp.ndarray
+    iterations: jnp.ndarray
+    status: jnp.ndarray
+    residual_norm: jnp.ndarray
+
+
+def _alpha_schedule(max_backtracks: int):
+    """The reference's alpha schedule: 1, 0.75, 0.5, 0.25, 0.25^2, ... ."""
+    alphas = [1.0, 0.75, 0.5]
+    a = 0.25
+    while len(alphas) < max_backtracks:
+        alphas.append(a)
+        a *= 0.25
+    return jnp.asarray(alphas[:max_backtracks])
+
+
+def backtracking_alphas(max_backtracks: int = 14):
+    return _alpha_schedule(max_backtracks)
+
+
+def newton(
+    residual: Callable,
+    solve_jacobian: Callable,
+    x0,
+    tolerance: float,
+    max_iterations: int = 50,
+) -> NewtonResult:
+    """Newton's method with full steps (newton.rs:61).
+
+    ``residual(x) -> F(x)``; ``solve_jacobian(x, F) -> d`` solving
+    ``J(x) d = F`` (the step taken is ``-d``).  Iterates until
+    ``||F|| <= tolerance``.  Fully jittable.
+    """
+    return newton_line_search(
+        residual, solve_jacobian, x0, tolerance, max_iterations, line_search=False
+    )
+
+
+def newton_line_search(
+    residual: Callable,
+    solve_jacobian: Callable,
+    x0,
+    tolerance: float,
+    max_iterations: int = 50,
+    line_search: bool = True,
+    c: float = 1e-4,
+    alpha_min: float = 1e-6,
+    max_backtracks: int = 14,
+) -> NewtonResult:
+    """Newton with Armijo backtracking (newton.rs:77, :172).
+
+    Line search minimizes g(x) = ||F(x)||²/2 with sufficient decrease
+    g(x + αp) <= (1 - cα) g(x).
+    """
+    x0 = jnp.asarray(x0)
+    tol = jnp.asarray(tolerance, x0.dtype)
+    alphas = _alpha_schedule(max_backtracks).astype(x0.dtype)
+
+    def ls_step(x, f, p):
+        g0 = 0.5 * jnp.vdot(f, f)
+
+        def try_alpha(carry, alpha):
+            best_alpha, done = carry
+            x_try = x + alpha * p
+            f_try = residual(x_try)
+            g = 0.5 * jnp.vdot(f_try, f_try)
+            ok = g <= (1.0 - c * alpha) * g0
+            new_best = jnp.where(~done & ok, alpha, best_alpha)
+            return (new_best, done | ok), None
+
+        (alpha, found), _ = jax.lax.scan(
+            try_alpha, (jnp.zeros((), x0.dtype), jnp.zeros((), bool)), alphas
+        )
+        return alpha, found
+
+    def cond(state):
+        x, f, k, status = state
+        return (status < 0) & (k < max_iterations)
+
+    def body(state):
+        x, f, k, status = state
+        d = solve_jacobian(x, f)
+        p = -d
+        if line_search:
+            alpha, found = ls_step(x, f, p)
+            fail = ~found
+            alpha = jnp.where(found, alpha, 0.0)
+        else:
+            alpha = jnp.ones((), x0.dtype)
+            fail = jnp.zeros((), bool)
+        x1 = x + alpha * p
+        f1 = residual(x1)
+        fn = jnp.linalg.norm(f1)
+        new_status = jnp.where(
+            fail,
+            NEWTON_LINE_SEARCH_FAILED,
+            jnp.where(fn <= tol, NEWTON_CONVERGED, -1),
+        ).astype(jnp.int32)
+        return (x1, f1, k + 1, new_status)
+
+    f0 = residual(x0)
+    init_status = jnp.where(jnp.linalg.norm(f0) <= tol, NEWTON_CONVERGED, -1).astype(
+        jnp.int32
+    )
+    x, f, k, status = jax.lax.while_loop(
+        cond, body, (x0, f0, jnp.zeros((), jnp.int32), init_status)
+    )
+    status = jnp.where(status < 0, NEWTON_MAX_ITER, status).astype(jnp.int32)
+    return NewtonResult(
+        x=x, iterations=k, status=status, residual_norm=jnp.linalg.norm(f)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Finite-difference calculus (test utilities; calculus.rs:156-305)
+# ---------------------------------------------------------------------------
+
+
+def approximate_jacobian_fd(f: Callable, x, h: float = 1e-6) -> np.ndarray:
+    """Central-difference Jacobian of ``f: R^n -> R^m`` (calculus.rs:266)."""
+    x = np.asarray(x, dtype=np.float64)
+    f0 = np.asarray(f(x))
+    J = np.zeros((f0.shape[0], x.shape[0]))
+    for j in range(x.shape[0]):
+        e = np.zeros_like(x)
+        e[j] = h
+        J[:, j] = (np.asarray(f(x + e)) - np.asarray(f(x - e))) / (2 * h)
+    return J
+
+
+def approximate_gradient_fd(f: Callable, x, h: float = 1e-6) -> np.ndarray:
+    """Central-difference gradient of a scalar function (calculus.rs:205)."""
+    x = np.asarray(x, dtype=np.float64)
+    g = np.zeros_like(x)
+    for j in range(x.shape[0]):
+        e = np.zeros_like(x)
+        e[j] = h
+        g[j] = (float(f(x + e)) - float(f(x - e))) / (2 * h)
+    return g

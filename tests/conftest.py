@@ -7,8 +7,10 @@ validates the multi-chip path without real hardware.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere.  Force CPU even when the
+# ambient environment points at a TPU platform: the test suite is the f64
+# parity harness; TPU runs happen through bench.py.
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["FENRIS_TPU_X64"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
@@ -18,6 +20,9 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's TPU plugin force-appends itself to jax_platforms at
+# import time; override after import to pin the test suite to CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,129 @@
+"""Sparse algebra and CG solver tests (cf. fenris-sparse/tests)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenris_tpu.assembly import global_ as G
+from fenris_tpu.sparse import CsrMatrix, from_pattern, spmv, to_dense
+from fenris_tpu.sparse.cg import (
+    CG_CONVERGED,
+    CG_INDEFINITE_OPERATOR,
+    CG_MAX_ITER,
+    conjugate_gradient,
+)
+
+
+def random_csr(rng, n=40, density=0.2):
+    dense = rng.standard_normal((n, n)) * (rng.uniform(size=(n, n)) < density)
+    np.fill_diagonal(dense, rng.uniform(1, 2, size=n))
+    rows, cols = np.nonzero(dense)
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    row_ptr = np.searchsorted(rows, np.arange(n + 1))
+    return (
+        CsrMatrix(
+            row_ptr=jnp.asarray(row_ptr),
+            col_indices=jnp.asarray(cols.astype(np.int32)),
+            values=jnp.asarray(dense[rows, cols]),
+            shape=(n, n),
+        ),
+        dense,
+    )
+
+
+def test_spmv_matches_dense(rng):
+    A, dense = random_csr(rng)
+    v = rng.standard_normal(dense.shape[0])
+    assert np.abs(np.asarray(spmv(A, jnp.asarray(v))) - dense @ v).max() < 1e-12
+
+
+def test_to_dense_roundtrip(rng):
+    A, dense = random_csr(rng)
+    assert np.abs(np.asarray(to_dense(A)) - dense).max() == 0.0
+
+
+def test_diagonal(rng):
+    A, dense = random_csr(rng)
+    assert np.abs(np.asarray(A.diagonal()) - np.diag(dense)).max() == 0.0
+
+
+def _spd_csr(rng, n=60):
+    B = rng.standard_normal((n, n))
+    dense = B @ B.T + n * np.eye(n)
+    rows, cols = np.nonzero(dense)
+    row_ptr = np.searchsorted(rows, np.arange(n + 1))
+    return (
+        CsrMatrix(
+            row_ptr=jnp.asarray(row_ptr),
+            col_indices=jnp.asarray(cols.astype(np.int32)),
+            values=jnp.asarray(dense[rows, cols]),
+            shape=(n, n),
+        ),
+        dense,
+    )
+
+
+def test_cg_solves_spd_system(rng):
+    A, dense = _spd_csr(rng)
+    x_true = rng.standard_normal(dense.shape[0])
+    b = jnp.asarray(dense @ x_true)
+    res = conjugate_gradient(A, b, rel_tolerance=1e-12, max_iter=1000)
+    assert int(res.status) == CG_CONVERGED
+    assert np.abs(np.asarray(res.x) - x_true).max() < 1e-8
+
+
+def test_cg_preconditioned_converges_faster(rng):
+    n = 80
+    # badly scaled SPD diagonal-dominant system
+    scales = 10.0 ** rng.uniform(-3, 3, size=n)
+    B = rng.standard_normal((n, n)) * 0.1
+    dense = np.diag(scales) + B @ B.T * 1e-3
+    dense = (dense + dense.T) / 2
+    A = jnp.asarray(dense)
+    b = jnp.asarray(rng.standard_normal(n))
+    op = lambda v: A @ v
+    res_plain = conjugate_gradient(op, b, rel_tolerance=1e-10, max_iter=2000)
+    inv_diag = 1.0 / jnp.diag(A)
+    res_prec = conjugate_gradient(
+        op, b, preconditioner=lambda v: inv_diag * v, rel_tolerance=1e-10, max_iter=2000
+    )
+    assert int(res_prec.status) == CG_CONVERGED
+    assert int(res_prec.num_iterations) <= int(res_plain.num_iterations)
+
+
+def test_cg_matrix_free_operator(rng):
+    n = 50
+    d = jnp.asarray(rng.uniform(1, 5, size=n))
+    op = lambda v: d * v  # diagonal SPD operator, matrix-free
+    b = jnp.asarray(rng.standard_normal(n))
+    res = conjugate_gradient(op, b, rel_tolerance=1e-14, max_iter=200)
+    assert int(res.status) == CG_CONVERGED
+    assert np.abs(np.asarray(res.x) - np.asarray(b / d)).max() < 1e-10
+
+
+def test_cg_indefinite_operator_detected(rng):
+    n = 20
+    vals = np.ones(n)
+    vals[3] = -1.0  # indefinite diagonal
+    op = lambda v: jnp.asarray(vals) * v
+    b = jnp.asarray(rng.standard_normal(n))
+    res = conjugate_gradient(op, b, rel_tolerance=1e-14, max_iter=200)
+    assert int(res.status) in (CG_INDEFINITE_OPERATOR, CG_MAX_ITER)
+
+
+def test_cg_max_iterations(rng):
+    A, dense = _spd_csr(rng)
+    b = jnp.asarray(rng.standard_normal(dense.shape[0]))
+    res = conjugate_gradient(A, b, rel_tolerance=1e-14, max_iter=2)
+    assert int(res.status) == CG_MAX_ITER
+    assert int(res.num_iterations) == 2
+
+
+def test_cg_zero_rhs():
+    n = 10
+    op = lambda v: 2.0 * v
+    res = conjugate_gradient(op, jnp.zeros(n), rel_tolerance=1e-10)
+    assert int(res.status) == CG_CONVERGED
+    assert int(res.num_iterations) == 0
+    assert np.abs(np.asarray(res.x)).max() == 0.0
