@@ -216,9 +216,8 @@ class ReferenceElement:
         import jax.numpy as jnp
 
         exps = np.asarray(self.exponents)
-        C = self.coeffs.astype(np.asarray(xi).dtype if hasattr(xi, "dtype") else np.float64)
         m = jnp.prod(xi[..., None, :] ** exps[None, :, :], axis=-1)
-        return m @ jnp.asarray(C, dtype=m.dtype)
+        return m @ jnp.asarray(self.coeffs, dtype=m.dtype)
 
     def dphi(self, xi):
         """Reference-basis gradients at traced points -> ``[..., n, d]``."""
