@@ -1,0 +1,185 @@
+"""Nonlinear hyperelasticity: energy/residual/Hessian + Newton-Krylov solve.
+
+Parity: the reference's user-composed outer loop (fenris-solid tests +
+benches/assembly.rs:81-124; SURVEY §3.3): assemble gradient and Hessian of
+the elastic energy with ``MaterialEllipticOperator``, apply Dirichlet BCs,
+solve with CG, drive with ``newton_line_search``.
+
+TPU-first design: the Newton system is solved **matrix-free** — the
+Hessian-vector product is ``jax.jvp`` of the assembled residual, which XLA
+fuses into one batched element sweep + scatter per CG iteration (the
+CSR matrix is never materialized; only its diagonal is assembled for the
+Jacobi preconditioner).  The whole Newton solve (residual, line search, CG)
+is a single jitted computation with no host round-trips, and the same
+function shards over a device mesh by element-data-parallelism
+(:mod:`.parallel`).
+
+Homogeneous Dirichlet constraints are enforced by dof masking: constrained
+residual entries are zeroed and the Hessian action is ``mask ∘ H ∘ mask +
+(I - mask)`` — spectrally equivalent to the reference's symmetric row/col
+elimination (assembly/global.rs:379).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import cached_property, partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .assembly import global_ as G
+from .assembly import local as L
+from .fem import FemSpace
+from .mesh import Mesh
+from .operators import EllipticOperator
+from .optimize import NewtonResult, newton_line_search
+from .solid import HyperelasticMaterial, MaterialEllipticOperator
+from .sparse.cg import conjugate_gradient
+
+__all__ = ["HyperelasticModel"]
+
+
+@dataclass
+class HyperelasticModel:
+    """A hyperelastic solid ready for energy/force/Hessian evaluation.
+
+    Args:
+        mesh: volumetric mesh (solution_dim = geometry dim).
+        material: a :class:`~fenris_tpu.solid.HyperelasticMaterial`.
+        params: material parameter pytree (broadcast or per-(element, qp)).
+        rule: quadrature rule (default: canonical stiffness rule).
+        dirichlet_nodes: nodes with homogeneous Dirichlet conditions.
+        body_force: optional ``f(x, params) -> [d]`` source.
+    """
+
+    mesh: Mesh
+    material: HyperelasticMaterial
+    params: Any
+    rule: Any = None
+    dirichlet_nodes: Any = None
+    body_force: Optional[Callable] = None
+    dtype: Any = None
+
+    def __post_init__(self):
+        from .quadrature.canonical import canonical_stiffness
+
+        d = self.mesh.dim
+        self.operator: EllipticOperator = MaterialEllipticOperator(self.material, dim=d)
+        rule = self.rule if self.rule is not None else canonical_stiffness(self.mesh.element)
+        self.tab = L.tabulate(self.mesh.element, rule)
+        self.space = FemSpace.create(self.mesh, solution_dim=d, dtype=self.dtype)
+        mask = np.ones(self.space.num_dofs, dtype=bool)
+        if self.dirichlet_nodes is not None and len(self.dirichlet_nodes):
+            nd = np.asarray(self.dirichlet_nodes, dtype=np.int64)
+            for i in range(d):
+                mask[nd * d + i] = False
+        self.free_mask = jnp.asarray(mask)
+        self._f_ext = self._assemble_external_forces()
+
+    # -- assembly ---------------------------------------------------------------
+
+    def _local(self, u):
+        return self.space.local_dofs(u)
+
+    def _assemble_external_forces(self):
+        if self.body_force is None:
+            return jnp.zeros(self.space.num_dofs, dtype=self.space.X_geo.dtype)
+        b_el = L.assemble_element_source_vectors(
+            self.space.X_geo, self.body_force, None, self.mesh.dim, self.tab
+        )
+        return G.assemble_vector(b_el, self.space.dofs, self.space.num_dofs)
+
+    def energy(self, u):
+        """Total potential energy E(u) = ∫ψ(∇u) - f_ext·u."""
+        e = jnp.sum(
+            L.compute_element_elliptic_energy(
+                self.space.X_geo, self._local(u), self.operator, self.params, self.tab
+            )
+        )
+        return e - jnp.vdot(self._f_ext, u)
+
+    def internal_forces(self, u):
+        f_el = L.assemble_element_elliptic_vectors(
+            self.space.X_geo, self._local(u), self.operator, self.params, self.tab
+        )
+        return G.assemble_vector(f_el, self.space.dofs, self.space.num_dofs)
+
+    def residual(self, u):
+        """Masked residual: ∇E(u) with Dirichlet dofs projected out."""
+        r = self.internal_forces(u) - self._f_ext
+        return jnp.where(self.free_mask, r, 0.0)
+
+    def hessian_vector_product(self, u, v):
+        """Exact Hessian action via jvp of the residual (matrix-free)."""
+        vm = jnp.where(self.free_mask, v, 0.0)
+        _, hv = jax.jvp(self.internal_forces, (u,), (vm,))
+        return jnp.where(self.free_mask, hv, v)
+
+    def assemble_hessian_matrices(self, u):
+        """Element Hessian blocks [E, nd, nd] (for CSR assembly / diag)."""
+        return L.assemble_element_elliptic_matrices(
+            self.space.X_geo, self._local(u), self.operator, self.params, self.tab
+        )
+
+    def hessian_diagonal(self, u):
+        """Assembled Hessian diagonal (Jacobi preconditioner), masked."""
+        A_el = self.assemble_hessian_matrices(u)
+        diag_el = jnp.diagonal(A_el, axis1=1, axis2=2)
+        diag = jax.ops.segment_sum(
+            diag_el.reshape(-1),
+            self.space.dofs.reshape(-1),
+            num_segments=self.space.num_dofs,
+        )
+        return jnp.where(self.free_mask & (diag != 0.0), diag, 1.0)
+
+    def assemble_hessian_csr(self, u):
+        """Materialized CSR Hessian values (BC-eliminated)."""
+        values = G.assemble_csr(self.assemble_hessian_matrices(u), self.space.pattern)
+        if self.dirichlet_nodes is not None and len(self.dirichlet_nodes):
+            values = G.apply_homogeneous_dirichlet_bc_csr(
+                values, self.space.pattern, self.dirichlet_nodes
+            )
+        return values
+
+    # -- solve ------------------------------------------------------------------
+
+    def solve(
+        self,
+        u0=None,
+        tolerance: float = 1e-8,
+        max_newton_iterations: int = 30,
+        cg_rel_tolerance: float = 1e-6,
+        cg_max_iter: int = 2000,
+        line_search: bool = True,
+    ) -> NewtonResult:
+        """Newton-Krylov solve of ∇E(u) = 0 (fully jittable).
+
+        Inner solve: Jacobi-preconditioned CG on the matrix-free Hessian
+        action (inexact Newton; the CG tolerance is relative per iteration).
+        """
+        if u0 is None:
+            u0 = jnp.zeros(self.space.num_dofs, dtype=self.space.X_geo.dtype)
+
+        def solve_jacobian(u, f):
+            inv_diag = 1.0 / self.hessian_diagonal(u)
+            res = conjugate_gradient(
+                lambda v: self.hessian_vector_product(u, v),
+                f,
+                preconditioner=lambda v: inv_diag * v,
+                rel_tolerance=cg_rel_tolerance,
+                max_iter=cg_max_iter,
+                check_definiteness=False,
+            )
+            return res.x
+
+        return newton_line_search(
+            self.residual,
+            solve_jacobian,
+            u0,
+            tolerance=tolerance,
+            max_iterations=max_newton_iterations,
+            line_search=line_search,
+        )

@@ -1,0 +1,95 @@
+"""Nonlinear hyperelasticity end-to-end tests (SURVEY §3.3 path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenris_tpu.elasticity import HyperelasticModel
+from fenris_tpu.mesh import procedural
+from fenris_tpu.optimize import NEWTON_CONVERGED, approximate_gradient_fd
+from fenris_tpu.solid import LameParameters, LinearElasticMaterial, NeoHookeanMaterial
+
+PARAMS = LameParameters(mu=384.614, lam=576.923)
+
+
+def _cantilever_model(material, res=2, body=-9.81):
+    mesh = procedural.create_rectangular_uniform_hex_mesh(1.0, 2, 1, 1, res)
+    # clamp the x = 0 face
+    fixed = np.flatnonzero(np.abs(mesh.points[:, 0]) < 1e-12)
+    return HyperelasticModel(
+        mesh=mesh,
+        material=material,
+        params=PARAMS,
+        dirichlet_nodes=fixed,
+        body_force=lambda x, p: jnp.array([0.0, 0.0, body], dtype=x.dtype),
+    )
+
+
+def test_residual_is_gradient_of_energy(rng):
+    model = _cantilever_model(NeoHookeanMaterial(), res=1)
+    n = model.space.num_dofs
+    u = rng.uniform(-0.01, 0.01, size=n) * np.asarray(model.free_mask)
+
+    def energy_of(uf):
+        return float(model.energy(jnp.asarray(uf)))
+
+    r = np.asarray(model.residual(jnp.asarray(u)))
+    fd = approximate_gradient_fd(energy_of, u, h=1e-6) * np.asarray(model.free_mask)
+    assert np.abs(r - fd).max() < 1e-4 * max(1.0, np.abs(r).max())
+
+
+def test_hessian_vector_product_matches_assembled(rng):
+    model = _cantilever_model(NeoHookeanMaterial(), res=1)
+    n = model.space.num_dofs
+    u = jnp.asarray(rng.uniform(-0.01, 0.01, size=n)) * model.free_mask
+    v = jnp.asarray(rng.standard_normal(n)) * model.free_mask
+    hv = np.asarray(model.hessian_vector_product(u, v))
+    # assembled CSR Hessian
+    from fenris_tpu.sparse import from_pattern, spmv
+
+    vals = model.assemble_hessian_csr(u)
+    A = from_pattern(model.space.pattern, vals)
+    hv_csr = np.asarray(spmv(A, v))
+    free = np.asarray(model.free_mask)
+    assert np.abs((hv - hv_csr)[free]).max() < 1e-8 * max(1.0, np.abs(hv).max())
+
+
+def test_linear_elastic_cantilever_matches_direct_solve():
+    model = _cantilever_model(LinearElasticMaterial(), res=2)
+    res = model.solve(tolerance=1e-9, cg_rel_tolerance=1e-10)
+    assert int(res.status) == NEWTON_CONVERGED
+    # linear problem: Newton converges in ~1 iteration
+    assert int(res.iterations) <= 2
+    # compare against dense direct solve of the assembled system
+    from fenris_tpu.sparse import from_pattern, to_dense
+
+    u0 = jnp.zeros(model.space.num_dofs)
+    A = np.asarray(to_dense(from_pattern(model.space.pattern, model.assemble_hessian_csr(u0))))
+    b = np.asarray(jnp.where(model.free_mask, model._f_ext, 0.0))
+    u_direct = np.linalg.solve(A, b)
+    err = np.abs(np.asarray(res.x) - u_direct).max() / np.abs(u_direct).max()
+    assert err < 1e-6
+    # gravity pulls the tip down
+    tip = np.argmax(model.mesh.points[:, 0])
+    assert u_direct[3 * tip + 2] < 0.0
+
+
+def test_neo_hookean_newton_converges():
+    model = _cantilever_model(NeoHookeanMaterial(), res=2, body=-30.0)
+    res = model.solve(tolerance=1e-8, max_newton_iterations=40)
+    assert int(res.status) == NEWTON_CONVERGED
+    assert float(res.residual_norm) <= 1e-8
+    u = np.asarray(res.x)
+    # all dirichlet dofs stay zero
+    assert np.abs(u[~np.asarray(model.free_mask)]).max() == 0.0
+    # finite energy, deformed state
+    assert np.isfinite(float(model.energy(res.x)))
+    assert np.abs(u).max() > 1e-4
+
+
+def test_solve_is_jittable():
+    model = _cantilever_model(NeoHookeanMaterial(), res=1)
+    solve = jax.jit(lambda: model.solve(tolerance=1e-6).x)
+    u = np.asarray(solve())
+    assert np.isfinite(u).all()
