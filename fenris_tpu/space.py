@@ -36,6 +36,7 @@ __all__ = [
     "interpolate_at_points",
     "interpolate_gradient_at_points",
     "FixedInterpolator",
+    "GridIndex",
 ]
 
 
@@ -96,6 +97,100 @@ def _clamp_to_reference(el: ReferenceElement, xi):
     return xi
 
 
+@dataclass(frozen=True)
+class GridIndex:
+    """Uniform-grid spatial acceleration structure over element AABBs.
+
+    The TPU-native replacement for the reference's R*-tree
+    (``SpatiallyIndexed``/``RTreeAccelerationStructure``,
+    spatially_indexed.rs:89): built once on the host by rasterizing every
+    element's (inflated) AABB into grid cells, stored as a **padded dense
+    candidate table** ``[num_grid_cells, K]`` so lookups under jit are a
+    single gather — no pointer chasing, no data-dependent control flow.
+    """
+
+    origin: np.ndarray  # [d]
+    inv_cell: np.ndarray  # [d] 1 / cell size
+    dims: np.ndarray  # [d] int
+    table: np.ndarray  # [num_cells, K] int32 element ids, -1 padded
+    mesh: Mesh
+
+    @staticmethod
+    def build(mesh: Mesh, avg_elements_per_cell: float = 2.0) -> "GridIndex":
+        aabbs = _element_aabbs(mesh)
+        d = mesh.dim
+        lo_g = aabbs.lo.min(axis=0)
+        hi_g = aabbs.hi.max(axis=0)
+        extent = np.maximum(hi_g - lo_g, 1e-300)
+        # target number of cells ~ E / avg_elements_per_cell, distributed
+        # proportionally to the domain aspect ratio
+        E = mesh.num_cells
+        target_cells = max(1, int(E / avg_elements_per_cell))
+        scale = (target_cells / np.prod(extent / extent.max())) ** (1.0 / d)
+        dims = np.maximum(1, np.floor(extent / extent.max() * scale).astype(np.int64))
+        cell = extent / dims
+        inflate = 1e-9 * extent.max()
+        lo_idx = np.clip(
+            np.floor((aabbs.lo - inflate - lo_g) / cell).astype(np.int64), 0, dims - 1
+        )
+        hi_idx = np.clip(
+            np.floor((aabbs.hi + inflate - lo_g) / cell).astype(np.int64), 0, dims - 1
+        )
+        # rasterize (elements span few cells on quasi-uniform meshes)
+        spans = hi_idx - lo_idx + 1
+        counts = np.prod(spans, axis=1)
+        total = int(counts.sum())
+        elem_ids = np.repeat(np.arange(E, dtype=np.int64), counts)
+        # enumerate covered cells per element, vectorized by offset ranks
+        offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        rank = np.arange(total) - np.repeat(offs, counts)
+        cell_coords = np.empty((total, d), dtype=np.int64)
+        stride = np.ones((E, d), dtype=np.int64)
+        for ax in range(d - 2, -1, -1):
+            stride[:, ax] = stride[:, ax + 1] * spans[:, ax + 1]
+        stride_r = np.repeat(stride, counts, axis=0)
+        lo_r = np.repeat(lo_idx, counts, axis=0)
+        span_r = np.repeat(spans, counts, axis=0)
+        rem = rank
+        for ax in range(d):
+            q = rem // stride_r[:, ax]
+            cell_coords[:, ax] = lo_r[:, ax] + q % span_r[:, ax]
+            rem = rem % stride_r[:, ax]
+        lin = np.zeros(total, dtype=np.int64)
+        mul = 1
+        for ax in range(d - 1, -1, -1):
+            lin += cell_coords[:, ax] * mul
+            mul *= dims[ax]
+        order = np.argsort(lin, kind="stable")
+        lin_s, elem_s = lin[order], elem_ids[order]
+        ncells = int(np.prod(dims))
+        starts = np.searchsorted(lin_s, np.arange(ncells + 1))
+        percell = np.diff(starts)
+        K = max(1, int(percell.max()))
+        table = np.full((ncells, K), -1, dtype=np.int32)
+        pos = np.arange(total) - np.repeat(starts[:-1], percell)
+        table[lin_s, pos] = elem_s
+        return GridIndex(
+            origin=lo_g, inv_cell=1.0 / cell, dims=dims, table=table, mesh=mesh
+        )
+
+    def candidates(self, points):
+        """Padded candidate element ids per query point: [Q, K], -1 pads."""
+        pts = jnp.asarray(points)
+        dims = jnp.asarray(self.dims)
+        idx = jnp.floor(
+            (pts - jnp.asarray(self.origin)) * jnp.asarray(self.inv_cell)
+        ).astype(jnp.int32)
+        idx = jnp.clip(idx, 0, dims - 1)
+        d = pts.shape[-1]
+        lin = jnp.zeros(pts.shape[0], dtype=jnp.int32)
+        mul = 1
+        for ax in range(d - 1, -1, -1):
+            lin = lin + idx[:, ax] * mul
+            mul = mul * int(self.dims[ax])
+        return jnp.asarray(self.table)[lin]
+
+
 class ClosestElementResult(NamedTuple):
     element_indices: jnp.ndarray  # [Q] int32
     reference_coords: jnp.ndarray  # [Q, d]
@@ -113,54 +208,32 @@ def _element_aabbs(mesh: Mesh) -> _Aabbs:
     return _Aabbs(lo=X.min(axis=1), hi=X.max(axis=1))
 
 
-def find_closest_element(
-    mesh: Mesh, points, num_candidates: int = 8, tol: float = 1e-10
-) -> ClosestElementResult:
-    """Locate the element containing (or closest to) each query point.
+def _select_among_candidates(mesh: Mesh, points, cand, cand_dist, tol: float):
+    """Newton-invert the geometry map on candidate sets and pick the best.
 
-    Strategy (replacing the reference's R*-tree pruned NN iteration,
-    spatially_indexed.rs:116): compute squared distances from each query
-    to every element AABB (one [Q, E] dense op, chunked), take the top-k
-    nearest candidates, Newton-invert the geometry map on all candidates in
-    a batch, and select the candidate whose reference coordinates violate
-    the domain least (ties → smaller AABB distance).  Deterministic, fully
-    vectorized, and exact for interior points whenever the true containing
-    element is among the k candidates.
+    ``cand``: [Q, k] element ids (-1 pads); ``cand_dist``: [Q, k] tie-break
+    distances (e.g. AABB distances; pads should carry +inf).
     """
-    points = jnp.asarray(points)
-    Q = points.shape[0]
     el = mesh.element
-    k = min(num_candidates, mesh.num_cells)
-    aabbs = _element_aabbs(mesh)
-    lo = jnp.asarray(aabbs.lo)
-    hi = jnp.asarray(aabbs.hi)
+    Q, k = cand.shape
     m = el.geometry.num_nodes
     X_geo_all = jnp.asarray(mesh.cell_points()[:, :m, :])
-
-    # [Q, E] clamped distance to AABBs (chunk over queries if enormous)
-    d2 = jnp.sum(
-        jnp.square(jnp.maximum(lo[None] - points[:, None], 0.0))
-        + jnp.square(jnp.maximum(points[:, None] - hi[None], 0.0)),
-        axis=-1,
-    )
-    neg_d2, cand = jax.lax.top_k(-d2, k)  # [Q, k]
-    cand_X = X_geo_all[cand]  # [Q, k, m, d]
-
+    safe_cand = jnp.maximum(cand, 0)
+    cand_X = X_geo_all[safe_cand]  # [Q, k, m, d]
     flat_X = cand_X.reshape(Q * k, m, -1)
     flat_x = jnp.repeat(points, k, axis=0)
     xi = map_physical_coordinates(el, flat_X, flat_x).reshape(Q, k, -1)
     viol = reference_domain_distance(el, xi)  # [Q, k]
-
-    # pick candidate minimizing (violation, aabb distance)
-    score = viol * 1e6 + jnp.sqrt(-neg_d2 + 1e-300)
+    pad = cand < 0
+    viol = jnp.where(pad, jnp.inf, viol)
+    score = viol * 1e6 + jnp.where(pad, jnp.inf, cand_dist)
     best = jnp.argmin(score, axis=1)
     take = lambda a: jnp.take_along_axis(
         a, best.reshape(Q, *([1] * (a.ndim - 1))), axis=1
     ).squeeze(1)
     xi_best = take(xi)
-    elem_best = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
+    elem_best = jnp.take_along_axis(safe_cand, best[:, None], axis=1)[:, 0]
     viol_best = take(viol)
-    # clamp reference coords for robust extrapolation-by-closest-element
     xi_best = jnp.where(
         (viol_best > tol)[:, None], _clamp_to_reference(el, xi_best), xi_best
     )
@@ -171,8 +244,54 @@ def find_closest_element(
     )
 
 
+def find_closest_element(
+    mesh: Mesh,
+    points,
+    num_candidates: int = 8,
+    tol: float = 1e-10,
+    index: Optional[GridIndex] = None,
+) -> ClosestElementResult:
+    """Locate the element containing (or closest to) each query point.
+
+    Strategy (replacing the reference's R*-tree pruned NN iteration,
+    spatially_indexed.rs:116): obtain a candidate set per query — either
+    the top-k nearest element AABBs (brute force, exact, O(Q·E)) or a
+    :class:`GridIndex` cell lookup (O(Q·K), for large meshes) — then
+    Newton-invert the geometry map on all candidates in a batch and select
+    the candidate whose reference coordinates violate the reference domain
+    least (ties → smaller AABB distance).  Deterministic and fully
+    vectorized; exact for interior points whenever the true containing
+    element is among the candidates.
+    """
+    points = jnp.asarray(points)
+    if index is not None:
+        cand = index.candidates(points)  # [Q, K], -1 pads
+        # tie-break by distance to candidate AABB centers
+        aabbs = _element_aabbs(mesh)
+        centers = jnp.asarray((aabbs.lo + aabbs.hi) / 2.0)
+        safe = jnp.maximum(cand, 0)
+        dist = jnp.linalg.norm(centers[safe] - points[:, None, :], axis=-1)
+        return _select_among_candidates(mesh, points, cand, dist, tol)
+
+    el = mesh.element
+    k = min(num_candidates, mesh.num_cells)
+    aabbs = _element_aabbs(mesh)
+    lo = jnp.asarray(aabbs.lo)
+    hi = jnp.asarray(aabbs.hi)
+    d2 = jnp.sum(
+        jnp.square(jnp.maximum(lo[None] - points[:, None], 0.0))
+        + jnp.square(jnp.maximum(points[:, None] - hi[None], 0.0)),
+        axis=-1,
+    )
+    neg_d2, cand = jax.lax.top_k(-d2, k)  # [Q, k]
+    return _select_among_candidates(
+        mesh, points, cand, jnp.sqrt(-neg_d2 + 1e-300), tol
+    )
+
+
 def interpolate_at_points(
-    mesh: Mesh, u, points, solution_dim: int = 1, num_candidates: int = 8
+    mesh: Mesh, u, points, solution_dim: int = 1, num_candidates: int = 8,
+    index: Optional[GridIndex] = None,
 ):
     """Interpolate a FE function at arbitrary physical points.
 
@@ -180,7 +299,7 @@ def interpolate_at_points(
     outside points evaluate at the clamped reference coords of the closest
     element).  ``u``: [num_nodes * s] global dofs -> [Q, s].
     """
-    res = find_closest_element(mesh, points, num_candidates)
+    res = find_closest_element(mesh, points, num_candidates, index=index)
     return _interpolate_located(mesh, u, res, solution_dim), res
 
 
@@ -194,11 +313,12 @@ def _interpolate_located(mesh: Mesh, u, located: ClosestElementResult, s: int):
 
 
 def interpolate_gradient_at_points(
-    mesh: Mesh, u, points, solution_dim: int = 1, num_candidates: int = 8
+    mesh: Mesh, u, points, solution_dim: int = 1, num_candidates: int = 8,
+    index: Optional[GridIndex] = None,
 ):
     """Interpolate ∇u at arbitrary points (interpolate.rs:214) -> [Q, d, s]."""
     el = mesh.element
-    res = find_closest_element(mesh, points, num_candidates)
+    res = find_closest_element(mesh, points, num_candidates, index=index)
     cells = jnp.asarray(mesh.cells)
     m = el.geometry.num_nodes
     Xg = jnp.asarray(mesh.cell_points()[:, :m, :])[res.element_indices]
@@ -228,10 +348,11 @@ class FixedInterpolator:
 
     @staticmethod
     def from_space_and_points(
-        mesh: Mesh, points, with_gradients: bool = False, num_candidates: int = 8
+        mesh: Mesh, points, with_gradients: bool = False, num_candidates: int = 8,
+        index: Optional[GridIndex] = None,
     ) -> "FixedInterpolator":
         el = mesh.element
-        res = find_closest_element(mesh, points, num_candidates)
+        res = find_closest_element(mesh, points, num_candidates, index=index)
         cells = jnp.asarray(mesh.cells)
         phi = el.phi(res.reference_coords)
         grad = None
