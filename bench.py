@@ -76,6 +76,32 @@ def main() -> None:
     flops = _flops_per_element(el.num_nodes, tab.num_points, 3, 1) * E
     achieved_tflops = flops / dt / 1e12
 
+    # --- secondary metric: CSR SpMV bandwidth at ~1M nnz scale -------------
+    from fenris_tpu.assembly import global_ as G
+    from fenris_tpu.mesh import procedural
+
+    mesh = procedural.create_unit_box_uniform_hex_mesh_3d(48)
+    pat = G.csr_pattern(mesh.cells, mesh.num_vertices, 1)
+    nnz, nrows = pat.nnz, pat.num_rows
+    vals = jnp.asarray(rng.standard_normal(nnz), jnp.float32)
+    xvec = jnp.asarray(rng.standard_normal(nrows), jnp.float32)
+    rows = jnp.asarray(pat.rows_of_nnz)
+    cols = jnp.asarray(pat.col_indices)
+
+    # NOTE: index arrays must be jit *arguments* — closure constants hit a
+    # pathological XLA:TPU slow path (see fenris_tpu/sparse/cg.py).
+    spmv = jax.jit(
+        lambda v, r, c, x: jax.ops.segment_sum(v * x[c], r, num_segments=nrows)
+    )
+    y = spmv(vals, rows, cols, xvec)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    for _ in range(50):
+        y = spmv(vals, rows, cols, xvec)
+    jax.block_until_ready(y)
+    dt_spmv = (time.perf_counter() - t0) / 50
+    spmv_gbs = (nnz * 12 + nrows * 8) / dt_spmv / 1e9
+
     # f32 peak estimate per chip generation (MXU); conservative v5e figure.
     dev = jax.devices()[0]
     peak_f32_tflops = {
@@ -99,6 +125,8 @@ def main() -> None:
                     "achieved_tflops_f32": round(achieved_tflops, 3),
                     "peak_tflops_f32": peak_f32_tflops,
                     "roofline_fraction": round(roofline_fraction, 4),
+                    "spmv_gbs": round(spmv_gbs, 1),
+                    "spmv_nnz": nnz,
                     "device": str(dev),
                 },
             }

@@ -95,6 +95,43 @@ def newton_line_search(
     g(x + αp) <= (1 - cα) g(x).
     """
     x0 = jnp.asarray(x0)
+
+    # Hoist closure-captured arrays (mesh data, tabulations, dof maps...)
+    # into explicit jit arguments — constants embedded in while-loop bodies
+    # hit a pathological XLA:TPU slow path (see sparse/cg.py).
+    res_conv, res_consts = jax.closure_convert(residual, x0)
+    f_probe = jax.eval_shape(residual, x0)
+    sj_conv, sj_consts = jax.closure_convert(
+        solve_jacobian, x0, jnp.zeros(f_probe.shape, f_probe.dtype)
+    )
+
+    def run(res_consts, sj_consts, x0):
+        return _newton_loop(
+            lambda x: res_conv(x, *res_consts),
+            lambda x, f: sj_conv(x, f, *sj_consts),
+            x0,
+            tolerance,
+            max_iterations,
+            line_search,
+            c,
+            alpha_min,
+            max_backtracks,
+        )
+
+    return jax.jit(run)(res_consts, sj_consts, x0)
+
+
+def _newton_loop(
+    residual,
+    solve_jacobian,
+    x0,
+    tolerance,
+    max_iterations,
+    line_search,
+    c,
+    alpha_min,
+    max_backtracks,
+) -> NewtonResult:
     tol = jnp.asarray(tolerance, x0.dtype)
     alphas = _alpha_schedule(max_backtracks).astype(x0.dtype)
 

@@ -83,7 +83,25 @@ def conjugate_gradient(
     if max_iter is None:
         max_iter = 10 * n
 
-    return _cg_loop(A, M, b, x0, rel_tolerance, int(max_iter), bool(check_definiteness))
+    # Hoist arrays captured in the operator/preconditioner closures into
+    # explicit arguments.  This is load-bearing on TPU: arrays embedded as
+    # XLA constants inside the while-loop body hit a pathological slow path
+    # (~1000x slower gathers than the same arrays passed as parameters).
+    probe = jnp.zeros_like(b)
+    A_conv, a_consts = jax.closure_convert(A, probe)
+    if M is not None:
+        M_conv, m_consts = jax.closure_convert(M, probe)
+    else:
+        M_conv, m_consts = None, ()
+
+    def run(a_consts, m_consts, b, x0):
+        A_fn = lambda v: A_conv(v, *a_consts)
+        M_fn = (lambda v: M_conv(v, *m_consts)) if M_conv is not None else None
+        return _cg_loop(
+            A_fn, M_fn, b, x0, rel_tolerance, int(max_iter), bool(check_definiteness)
+        )
+
+    return jax.jit(run)(a_consts, m_consts, b, x0)
 
 
 def _cg_loop(A, M, b, x0, rel_tolerance, max_iter, check_definiteness):
