@@ -89,10 +89,27 @@ def element_dof_indices(cells: np.ndarray, solution_dim: int) -> np.ndarray:
 def csr_pattern(cells: np.ndarray, num_nodes: int, solution_dim: int = 1) -> CsrPattern:
     """Symbolic assembly: CSR pattern + per-element scatter indices.
 
-    Host-side, vectorized numpy (one sort over E * (n s)^2 keys); replaces
-    the reference's two-phase hash-set symbolic assembly (global.rs:65,206).
+    Host-side; replaces the reference's two-phase hash-set symbolic
+    assembly (global.rs:65,206).  Uses the native C++ radix-sort builder
+    (:mod:`fenris_tpu.native`) when available, with a vectorized numpy
+    fallback (one sort over E * (n s)^2 keys).
     """
     s = int(solution_dim)
+    from ..native import build_pattern_native
+
+    native = build_pattern_native(np.asarray(cells), int(num_nodes), s)
+    if native is not None:
+        row_ptr, col_indices, rows_of_nnz, scatter, diag = native
+        return CsrPattern(
+            num_rows=int(num_nodes) * s,
+            num_cols=int(num_nodes) * s,
+            row_ptr=row_ptr,
+            col_indices=col_indices,
+            scatter_indices=scatter,
+            rows_of_nnz=rows_of_nnz,
+            diag_positions=diag,
+            solution_dim=s,
+        )
     dofs = element_dof_indices(cells, s)  # [E, nd]
     E, nd = dofs.shape
     N = int(num_nodes) * s
