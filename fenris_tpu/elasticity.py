@@ -62,6 +62,10 @@ class HyperelasticModel:
     dirichlet_nodes: Any = None
     body_force: Optional[Callable] = None
     dtype: Any = None
+    #: elements per sweep chunk; bounds peak HBM for the fused jvp element
+    #: sweeps (None = single fused sweep, best for small meshes).  Large
+    #: meshes are processed as a lax.scan over chunks.
+    chunk_size: Optional[int] = None
 
     def __post_init__(self):
         from .quadrature.canonical import canonical_stiffness
@@ -70,6 +74,15 @@ class HyperelasticModel:
         self.operator: EllipticOperator = MaterialEllipticOperator(self.material, dim=d)
         rule = self.rule if self.rule is not None else canonical_stiffness(self.mesh.element)
         self.tab = L.tabulate(self.mesh.element, rule)
+        if self.chunk_size is None:
+            # Auto-chunk: keep per-sweep (element, qp, d^4)-sized jvp
+            # intermediates bounded (~1 GB class).  The hvp sweep costs
+            # ~q * d^4 * 8 bytes per element with tangents.
+            budget = 2**28  # elements x qp x tensor budget
+            per_el = self.tab.num_points * (self.mesh.dim**4 + 2 * self.mesh.element.num_nodes * self.mesh.dim)
+            max_els = max(4096, budget // max(per_el, 1))
+            if self.mesh.num_cells > max_els:
+                self.chunk_size = int(max_els)
         self.space = FemSpace.create(self.mesh, solution_dim=d, dtype=self.dtype)
         mask = np.ones(self.space.num_dofs, dtype=bool)
         if self.dirichlet_nodes is not None and len(self.dirichlet_nodes):
@@ -83,6 +96,60 @@ class HyperelasticModel:
 
     def _local(self, u):
         return self.space.local_dofs(u)
+
+    def _chunked(self):
+        """Padded, chunk-reshaped (X_geo, dofs, valid) for lax.scan sweeps."""
+        if getattr(self, "_chunk_cache", None) is not None:
+            return self._chunk_cache
+        c = self.chunk_size
+        E = self.mesh.num_cells
+        pad = (-E) % c
+        Xg = self.space.X_geo
+        dofs = self.space.dofs
+        valid = jnp.ones(E, dtype=Xg.dtype)
+        if pad:
+            Xg = jnp.concatenate([Xg, jnp.repeat(Xg[:1], pad, axis=0)], axis=0)
+            dofs = jnp.concatenate([dofs, jnp.repeat(dofs[:1], pad, axis=0)], axis=0)
+            valid = jnp.concatenate([valid, jnp.zeros(pad, dtype=Xg.dtype)])
+        k = Xg.shape[0] // c
+        cache = (
+            Xg.reshape(k, c, *Xg.shape[1:]),
+            dofs.reshape(k, c, dofs.shape[1]),
+            valid.reshape(k, c),
+        )
+        self._chunk_cache = cache
+        return cache
+
+    def _sweep_vector(self, u):
+        """Internal-force element sweep, optionally chunked over elements."""
+        n = self.mesh.element.num_nodes
+        s = self.mesh.dim
+        if self.chunk_size is None:
+            f_el = L.assemble_element_elliptic_vectors(
+                self.space.X_geo, self._local(u), self.operator, self.params, self.tab
+            )
+            return G.assemble_vector(f_el, self.space.dofs, self.space.num_dofs)
+        Xc, dofc, validc = self._chunked()
+
+        def body(acc, xs):
+            Xg, dofs, valid = xs
+            u_el = u[dofs].reshape(-1, n, s)
+            f_el = L.assemble_element_elliptic_vectors(
+                Xg, u_el, self.operator, self.params, self.tab
+            )
+            f_el = f_el * valid[:, None]
+            return (
+                acc
+                + jax.ops.segment_sum(
+                    f_el.reshape(-1), dofs.reshape(-1), num_segments=self.space.num_dofs
+                ),
+                None,
+            )
+
+        out, _ = jax.lax.scan(
+            body, jnp.zeros(self.space.num_dofs, self.space.X_geo.dtype), (Xc, dofc, validc)
+        )
+        return out
 
     def _assemble_external_forces(self):
         if self.body_force is None:
@@ -102,10 +169,7 @@ class HyperelasticModel:
         return e - jnp.vdot(self._f_ext, u)
 
     def internal_forces(self, u):
-        f_el = L.assemble_element_elliptic_vectors(
-            self.space.X_geo, self._local(u), self.operator, self.params, self.tab
-        )
-        return G.assemble_vector(f_el, self.space.dofs, self.space.num_dofs)
+        return self._sweep_vector(u)
 
     def residual(self, u):
         """Masked residual: ∇E(u) with Dirichlet dofs projected out."""
@@ -126,13 +190,41 @@ class HyperelasticModel:
 
     def hessian_diagonal(self, u):
         """Assembled Hessian diagonal (Jacobi preconditioner), masked."""
-        A_el = self.assemble_hessian_matrices(u)
-        diag_el = jnp.diagonal(A_el, axis1=1, axis2=2)
-        diag = jax.ops.segment_sum(
-            diag_el.reshape(-1),
-            self.space.dofs.reshape(-1),
-            num_segments=self.space.num_dofs,
-        )
+        n = self.mesh.element.num_nodes
+        s = self.mesh.dim
+        if self.chunk_size is None:
+            A_el = self.assemble_hessian_matrices(u)
+            diag_el = jnp.diagonal(A_el, axis1=1, axis2=2)
+            diag = jax.ops.segment_sum(
+                diag_el.reshape(-1),
+                self.space.dofs.reshape(-1),
+                num_segments=self.space.num_dofs,
+            )
+        else:
+            Xc, dofc, validc = self._chunked()
+
+            def body(acc, xs):
+                Xg, dofs, valid = xs
+                u_el = u[dofs].reshape(-1, n, s)
+                A_el = L.assemble_element_elliptic_matrices(
+                    Xg, u_el, self.operator, self.params, self.tab
+                )
+                d_el = jnp.diagonal(A_el, axis1=1, axis2=2) * valid[:, None]
+                return (
+                    acc
+                    + jax.ops.segment_sum(
+                        d_el.reshape(-1),
+                        dofs.reshape(-1),
+                        num_segments=self.space.num_dofs,
+                    ),
+                    None,
+                )
+
+            diag, _ = jax.lax.scan(
+                body,
+                jnp.zeros(self.space.num_dofs, self.space.X_geo.dtype),
+                (Xc, dofc, validc),
+            )
         return jnp.where(self.free_mask & (diag != 0.0), diag, 1.0)
 
     def assemble_hessian_csr(self, u):
