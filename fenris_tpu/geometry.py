@@ -358,6 +358,42 @@ class PolyMesh:
             total += vol
         return total
 
+    def triangulate(self):
+        """Tetrahedralize each (convex) cell by fanning from its centroid
+        (polymesh.rs:337).  Returns a tet4 :class:`~fenris_tpu.mesh.Mesh`."""
+        from .mesh import Mesh
+        from .reference_elements import ELEMENTS
+
+        verts: List[np.ndarray] = [v for v in self.vertices]
+        tets: List[List[int]] = []
+        for cfaces in self.cells:
+            vs = sorted({v for f in cfaces for v in self.faces[f]})
+            centroid = self.vertices[vs].mean(axis=0)
+            ci = len(verts)
+            verts.append(centroid)
+            for f in cfaces:
+                face = self.faces[f]
+                fc = self.vertices[face].mean(axis=0)
+                fi = len(verts)
+                verts.append(fc)
+                n = len(face)
+                for k in range(n):
+                    a, b = face[k], face[(k + 1) % n]
+                    tet = [a, b, fi, ci]
+                    # orient positively
+                    v0, v1, v2, v3 = (np.asarray(verts[i]) for i in tet)
+                    if np.linalg.det(np.stack([v1 - v0, v2 - v0, v3 - v0])) < 0:
+                        tet = [b, a, fi, ci]
+                    tets.append(tet)
+        return Mesh(np.asarray(verts), np.asarray(tets, dtype=np.int32), ELEMENTS["tet4"])
+
+    def export_vtu(self, path) -> None:
+        """Export as VTK polyhedral-ish data: triangulated tet mesh
+        (fenris-geometry/src/vtkio.rs equivalent)."""
+        from .io.vtk import write_vtu
+
+        write_vtu(path, self.triangulate())
+
     def intersect_half_space(self, half: HalfSpace) -> "PolyMesh":
         """Clip every (convex) cell against a half-space (polymesh.rs:564).
 
