@@ -27,6 +27,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..assembly.local import inv_and_det as _inv_and_det
 from ..operators import EllipticOperator
 
 __all__ = [
@@ -201,7 +202,9 @@ class NeoHookeanMaterial(HyperelasticMaterial):
         mu, lam = params.mu, params.lam
         F = deformation_gradient(u_grad)
         logJ = log_det_F(jnp.swapaxes(u_grad, -1, -2))
-        Finv = jnp.linalg.inv(F)
+        # closed-form small-matrix inverse: jnp.linalg.inv lowers to a
+        # looping LU on TPU and is ~1000x slower under vmap
+        Finv, _ = _inv_and_det(F)
         FinvT = jnp.swapaxes(Finv, -1, -2)
         return (-mu + lam * logJ) * FinvT + mu * F
 
@@ -210,7 +213,8 @@ class NeoHookeanMaterial(HyperelasticMaterial):
         d = u_grad.shape[-1]
         F = deformation_gradient(u_grad)
         logJ = log_det_F(jnp.swapaxes(u_grad, -1, -2))
-        FinvT = jnp.swapaxes(jnp.linalg.inv(F), -1, -2)
+        Finv, _ = _inv_and_det(F)
+        FinvT = jnp.swapaxes(Finv, -1, -2)
         alpha = -mu + lam * logJ
         delta = jnp.eye(d, dtype=u_grad.dtype)
         # C(a,b) = λ (F̂a)(F̂b)ᵀ - α (F̂b)(F̂a)ᵀ + μ(a·b)I, F̂ = F^{-T}

@@ -62,8 +62,12 @@ def map_physical_coordinates(
         phi, dphi = _geometry_phi_dphi(el, xi)  # [B, m], [B, m, d]
         r = jnp.einsum("bm,bmd->bd", phi, X_geo) - x
         J = jnp.einsum("bmi,bmd->bid", X_geo, dphi)  # J[i, j] = dT_i/dxi_j
-        # solve J dxi = r  (small d: use explicit solve)
-        dxi = jnp.linalg.solve(J, r[..., None])[..., 0]
+        # closed-form small-matrix inverse (jnp.linalg.solve lowers to a
+        # looping LU on TPU — pathologically slow under batching)
+        from .assembly.local import inv_and_det
+
+        Jinv, _ = inv_and_det(J)
+        dxi = jnp.einsum("bij,bj->bi", Jinv, r)
         return xi - dxi
 
     xi0 = jnp.zeros(x.shape, dtype)
@@ -325,7 +329,9 @@ def interpolate_gradient_at_points(
     dphi = el.dphi(res.reference_coords)  # [Q, n, d]
     gdphi = el.geometry.dphi(res.reference_coords)  # [Q, m, d]
     J = jnp.einsum("qmi,qmd->qid", Xg, gdphi)
-    Jinv = jnp.linalg.inv(J)
+    from .assembly.local import inv_and_det
+
+    Jinv, _ = inv_and_det(J)
     gp = jnp.einsum("qnk,qki->qni", dphi, Jinv)
     u2 = jnp.asarray(u).reshape(-1, solution_dim)
     nodes = cells[res.element_indices]
@@ -362,7 +368,9 @@ class FixedInterpolator:
             dphi = el.dphi(res.reference_coords)
             gdphi = el.geometry.dphi(res.reference_coords)
             J = jnp.einsum("qmi,qmd->qid", Xg, gdphi)
-            gp = jnp.einsum("qnk,qki->qni", dphi, jnp.linalg.inv(J))
+            from .assembly.local import inv_and_det as _iad
+
+            gp = jnp.einsum("qnk,qki->qni", dphi, _iad(J)[0])
             grad = gp
         return FixedInterpolator(nodes=cells[res.element_indices], phi=phi, grad_phi=grad)
 
