@@ -1,0 +1,101 @@
+"""Structured stencil-path vs unstructured model agreement tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenris_tpu.elasticity import HyperelasticModel
+from fenris_tpu.mesh import procedural
+from fenris_tpu.optimize import NEWTON_CONVERGED
+from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+from fenris_tpu.structured import StructuredHyperelasticModel
+
+PARAMS = LameParameters(mu=384.614, lam=576.923)
+CELLS = (3, 2, 2)
+H = 0.5
+
+
+def _mesh():
+    return procedural.create_rectangular_uniform_hex_mesh(H, *CELLS, 1)
+
+
+def _models():
+    mesh = _mesh()
+    fixed_nodes = np.flatnonzero(np.abs(mesh.points[:, 2]) < 1e-12)
+    mask = np.zeros(mesh.num_vertices * 3, dtype=bool)
+    for i in range(3):
+        mask[fixed_nodes * 3 + i] = True
+    body = np.array([0.0, 0.0, -3.0])
+    unstructured = HyperelasticModel(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=PARAMS,
+        dirichlet_nodes=fixed_nodes,
+        body_force=lambda x, p: jnp.asarray(body, dtype=x.dtype),
+        dtype=jnp.float64,
+    )
+    structured = StructuredHyperelasticModel(
+        cells=CELLS,
+        spacing=H,
+        material=NeoHookeanMaterial(),
+        params=PARAMS,
+        dirichlet_mask=mask,
+        body_force=body,
+        dtype=jnp.float64,
+    )
+    return unstructured, structured
+
+
+def test_node_ordering_matches():
+    mesh = _mesh()
+    s = StructuredHyperelasticModel(
+        cells=CELLS, spacing=H, material=NeoHookeanMaterial(), params=PARAMS
+    )
+    assert s.num_nodes == mesh.num_vertices
+    # grid reshape (z, y, x) matches the procedural mesh node order
+    pts = mesh.points.reshape(s.node_shape + (3,))
+    assert np.allclose(pts[0, 0, 1], [H, 0, 0])
+    assert np.allclose(pts[1, 0, 0], [0, 0, H])
+
+
+def test_internal_forces_match(rng):
+    un, st = _models()
+    u = jnp.asarray(rng.uniform(-0.02, 0.02, size=st.num_dofs))
+    f_un = np.asarray(un.internal_forces(u))
+    f_st = np.asarray(st.internal_forces(u))
+    assert np.abs(f_un - f_st).max() < 1e-11
+
+
+def test_residual_hvp_energy_diag_match(rng):
+    un, st = _models()
+    u = jnp.asarray(rng.uniform(-0.02, 0.02, size=st.num_dofs)) * st.free_mask
+    v = jnp.asarray(rng.standard_normal(st.num_dofs))
+    assert np.abs(np.asarray(un.residual(u)) - np.asarray(st.residual(u))).max() < 1e-11
+    assert (
+        np.abs(
+            np.asarray(un.hessian_vector_product(u, v))
+            - np.asarray(st.hessian_vector_product(u, v))
+        ).max()
+        < 1e-10
+    )
+    assert abs(float(un.energy(u)) - float(st.energy(u))) < 1e-10
+    assert (
+        np.abs(
+            np.asarray(un.hessian_diagonal(u)) - np.asarray(st.hessian_diagonal(u))
+        ).max()
+        < 1e-10
+    )
+
+
+def test_structured_solve_matches_unstructured():
+    un, st = _models()
+    r_un = un.solve(tolerance=1e-9)
+    r_st = st.solve(tolerance=1e-9, cg_rel_tolerance=1e-8)
+    assert int(r_st.status) == NEWTON_CONVERGED
+    assert np.abs(np.asarray(r_un.x) - np.asarray(r_st.x)).max() < 1e-6
+
+
+def test_external_forces_match():
+    un, st = _models()
+    assert np.abs(np.asarray(un._f_ext) - np.asarray(st._f_ext)).max() < 1e-11
