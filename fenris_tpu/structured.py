@@ -95,31 +95,43 @@ class StructuredHyperelasticModel:
         self._f_ext = self._external_forces()
 
     # -- helpers ---------------------------------------------------------------
+    #
+    # Layout note: all intermediates keep the (large) grid axes LAST so XLA
+    # tiles the (8, 128) vector registers over grid points.  Arrays shaped
+    # [..., d, s] with d = s = 3 minor would suffer ~100x tile-padding
+    # amplification when materialized (measured on v5e); grid-minor layout
+    # plus vmap(in_axes=-1) over the flattened grid avoids it entirely.
 
     def _grid(self, u):
-        return u.reshape(self.node_shape + (3,))
+        """[s, z, y, x] node grid from a flat dof vector."""
+        return jnp.moveaxis(u.reshape(self.node_shape + (3,)), -1, 0)
+
+    def _ungrid(self, g):
+        """flat dof vector from [s, z, y, x]."""
+        return jnp.moveaxis(g, 0, -1).reshape(-1)
 
     def _gather_elements(self, ug):
-        """[z, y, x, n, s] element-local dofs via 8 shifted slices."""
+        """[n, s, z, y, x] element-local dofs via 8 shifted slices."""
         ncx, ncy, ncz = self.cells
         views = [
-            ug[dk : dk + ncz, dj : dj + ncy, di : di + ncx, :]
+            ug[:, dk : dk + ncz, dj : dj + ncy, di : di + ncx]
             for (di, dj, dk) in _OFFSETS
         ]
-        return jnp.stack(views, axis=-2)
+        return jnp.stack(views, axis=0)
 
     def _scatter_nodes(self, f_el):
-        """Inverse of _gather_elements: 8 shifted slice-adds (no scatter)."""
+        """Inverse of _gather_elements: 8 shifted slice-adds (no scatter).
+
+        ``f_el``: [n, s, zc, yc, xc] -> [s, z, y, x] node accumulation.
+        """
         ncx, ncy, ncz = self.cells
-        out = jnp.zeros(self.node_shape + (3,), dtype=f_el.dtype)
+        out = jnp.zeros((3,) + self.node_shape, dtype=f_el.dtype)
         for n, (di, dj, dk) in enumerate(_OFFSETS):
             out = jax.lax.dynamic_update_slice(
                 out,
-                jax.lax.dynamic_slice(
-                    out, (dk, dj, di, 0), (ncz, ncy, ncx, 3)
-                )
-                + f_el[..., n, :],
-                (dk, dj, di, 0),
+                jax.lax.dynamic_slice(out, (0, dk, dj, di), (3, ncz, ncy, ncx))
+                + f_el[n],
+                (0, dk, dj, di),
             )
         return out
 
@@ -127,29 +139,40 @@ class StructuredHyperelasticModel:
         if self.body_force is None:
             return jnp.zeros(self.num_dofs, self.dtype)
         b = jnp.asarray(self.body_force, self.dtype)
-        # consistent load for constant force: per element node, w_total/8
         f_el_node = jnp.sum(self.wdet) / 8.0 * b  # [3]
         ones_el = jnp.broadcast_to(
-            f_el_node,
-            (self.cells[2], self.cells[1], self.cells[0], 8, 3),
+            f_el_node[None, :, None, None, None],
+            (8, 3, self.cells[2], self.cells[1], self.cells[0]),
         )
-        return self._scatter_nodes(ones_el).reshape(-1)
+        return self._ungrid(self._scatter_nodes(ones_el))
 
     # -- assembly --------------------------------------------------------------
 
-    def _pointwise_g(self, G):
-        """vmap the material operator over [z, y, x, q] grid points."""
-        flat = G.reshape(-1, 3, 3)
-        g = jax.vmap(lambda Gp: self.operator.g(Gp, self.params))(flat)
-        return g.reshape(G.shape)
+    def _u_grad(self, u):
+        """G [d, s, q, zc, yc, xc] displacement gradients at all qps."""
+        U = self._gather_elements(self._grid(u))  # [n, s, z, y, x]
+        return jnp.einsum("qnd,nszyx->dsqzyx", self.gp, U)
+
+    def _pointwise(self, fn, G):
+        """vmap a pointwise fn over the trailing (q, z, y, x) axes of G.
+
+        ``G``: [d, s, q, zc, yc, xc]; fn takes a [d, s] matrix.  Batch axes
+        stay trailing so every intermediate keeps grid-minor layout.
+        """
+        q = G.shape[2]
+        B = int(np.prod(G.shape[3:]))
+        flat = G.reshape(3, 3, q * B)
+        out = jax.vmap(lambda Gp: fn(Gp), in_axes=-1, out_axes=-1)(flat)
+        return out, (q, B)
 
     def internal_forces(self, u):
-        ug = self._grid(u)
-        U = self._gather_elements(ug)  # [z, y, x, n, s]
-        G = jnp.einsum("qnd,zyxns->zyxqds", self.gp, U)
-        g = self._pointwise_g(G)  # [z, y, x, q, d, s]
-        f_el = jnp.einsum("q,qnd,zyxqds->zyxns", self.wdet, self.gp, g)
-        return self._scatter_nodes(f_el).reshape(-1)
+        G = self._u_grad(u)
+        g_flat, (q, B) = self._pointwise(
+            lambda Gp: self.operator.g(Gp, self.params), G
+        )  # [d, s, q*B]
+        g = g_flat.reshape((3, 3, q) + G.shape[3:])  # [d, s, q, zc, yc, xc]
+        f_el = jnp.einsum("q,qnd,dsqzyx->nszyx", self.wdet, self.gp, g)
+        return self._ungrid(self._scatter_nodes(f_el))
 
     def residual(self, u):
         r = self.internal_forces(u) - self._f_ext
@@ -161,25 +184,27 @@ class StructuredHyperelasticModel:
         return jnp.where(self.free_mask, hv, v)
 
     def energy(self, u):
-        ug = self._grid(u)
-        U = self._gather_elements(ug)
-        G = jnp.einsum("qnd,zyxns->zyxqds", self.gp, U)
-        flat = G.reshape(-1, 3, 3)
-        psi = jax.vmap(lambda Gp: self.operator.energy(Gp, self.params))(flat)
-        psi = psi.reshape(G.shape[:4])
-        return jnp.einsum("q,zyxq->", self.wdet, psi) - jnp.vdot(self._f_ext, u)
+        G = self._u_grad(u)
+        q = G.shape[2]
+        B = int(np.prod(G.shape[3:]))
+        flat = G.reshape(3, 3, q * B)
+        psi = jax.vmap(
+            lambda Gp: self.operator.energy(Gp, self.params), in_axes=-1, out_axes=-1
+        )(flat)
+        psi = psi.reshape((q,) + G.shape[3:])
+        return jnp.einsum("q,qzyx->", self.wdet, psi) - jnp.vdot(self._f_ext, u)
 
     def hessian_diagonal(self, u):
         """Assembled Hessian diagonal via the contraction tensor stencil."""
-        ug = self._grid(u)
-        U = self._gather_elements(ug)
-        G = jnp.einsum("qnd,zyxns->zyxqds", self.gp, U)
-        flat = G.reshape(-1, 3, 3)
-        D = jax.vmap(lambda Gp: self.operator.contraction(Gp, self.params))(flat)
-        D = D.reshape(G.shape[:4] + (3, 3, 3, 3))  # [z,y,x,q,k,i,m,j]
-        # element diagonal blocks: d_el[..., n, i] = sum_q w gp[q,n,k] D[kimj] gp[q,n,m] (i=j)
-        d_el = jnp.einsum("q,qnk,zyxqkimi,qnm->zyxni", self.wdet, self.gp, D, self.gp)
-        diag = self._scatter_nodes(d_el).reshape(-1)
+        G = self._u_grad(u)
+        q = G.shape[2]
+        D_flat, (q, B) = self._pointwise(
+            lambda Gp: self.operator.contraction(Gp, self.params), G
+        )  # [k, i, m, j, q*B]
+        D = D_flat.reshape((3, 3, 3, 3, q) + G.shape[3:])
+        # d_el[n, i, ...] = sum_q w gp[q,n,k] D[k,i,m,i] gp[q,n,m]
+        d_el = jnp.einsum("q,qnk,kimiqzyx,qnm->nizyx", self.wdet, self.gp, D, self.gp)
+        diag = self._ungrid(self._scatter_nodes(d_el))
         return jnp.where(self.free_mask & (diag != 0.0), diag, 1.0)
 
     # -- solve -----------------------------------------------------------------
