@@ -1,0 +1,229 @@
+"""Fused Pallas stencil kernel: Neo-Hookean residual on structured hex grids.
+
+The XLA structured path (fenris_tpu/structured.py) materializes the
+[3, 3, q, grid] displacement-gradient chain in HBM (~30x the essential
+traffic).  This kernel fuses the entire per-element chain — shifted-slice
+gather, constant-geometry basis gradients, closed-form Neo-Hookean stress,
+quadrature reduction, and local scatter — into one pass over z-slabs:
+
+* grid dimension = z-slabs of ``KZ`` node planes; each step DMAs a
+  ``KZ + 2``-plane window of the (padded) displacement grid into VMEM,
+  computes force contributions from the ``KZ + 1`` cell planes it fully
+  covers, and writes exactly its ``KZ`` owned node planes (the plane
+  shared with the previous slab is recomputed redundantly — 1/KZ compute
+  overhead for perfectly disjoint output blocks);
+* all material math is written explicitly over [ny, nx] plane tiles
+  (9 separate component arrays), so every operation is lane-perfect
+  elementwise VPU work — no [., 3, 3] minor-dim tile padding anywhere;
+* basis-gradient constants (the affine-geometry ``gp`` table) are baked
+  in as Python float literals.
+
+Essential HBM traffic: read u window + write f — ~32 B per node per pass.
+Validated against the XLA structured model to f32 roundoff in interpreter
+mode (tests/test_stencil_kernel.py).
+
+**Status: experimental on the current toolchain.**  Round-1 findings on the
+axon v5e stack: (a) fully-unrolled variants blow up Mosaic compile time
+(~10 min) and the remote compiler process; (b) the fori_loop variant
+compiles quickly but the compiled kernel deviates from the interpreter
+result by ~4e-3 relative (suspected low-precision VPU transcendental for
+``log1p`` amplified by the near-identity cancellation in alpha·F^{-T});
+(c) large plane counts (KZ = 8, 102x128 planes) fault the TPU worker.
+The production path remains the grid-minor XLA pipeline in
+fenris_tpu/structured.py until the toolchain stabilizes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["neo_hookean_residual_pallas"]
+
+# local hex8 node -> (di, dj, dk) offsets (matches structured.py)
+_OFFSETS = ((0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+            (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1))
+
+
+def _gp_table(spacing: float):
+    """Constant physical basis gradients gp[q][n][d] and weights (floats)."""
+    from ..assembly.local import tabulate
+    from ..quadrature.canonical import canonical_stiffness
+    from ..reference_elements import ELEMENTS
+
+    el = ELEMENTS["hex8"]
+    tab = tabulate(el, canonical_stiffness(el))
+    h = float(spacing)
+    gp = (tab.dphi * (2.0 / h)).astype(np.float64)  # [q, n, d]
+    wdet = (tab.weights * (h / 2.0) ** 3).astype(np.float64)
+    return gp, wdet
+
+
+def _nh_force_plane(u_win, cp, gp, wdet, mu, lam, ncy, ncx, valid, xy_mask):
+    """Force contributions of one cell plane.
+
+    ``u_win``: [3, KZ+2, ny, nx] VMEM ref; ``cp``: cell plane
+    index within the window.  Returns ``f_el``: list of 8 lists of 3
+    [ncy, ncx] arrays (per local node, per component).
+    """
+    q_total = gp.shape[0]
+
+    # element-local displacement views: U[n][s] as [ncy, ncx] arrays,
+    # read straight from the VMEM ref with dynamic plane indices (Mosaic
+    # supports pl.ds ref reads; value-level dynamic_slice is unimplemented)
+    U = []
+    for (di, dj, dk) in _OFFSETS:
+        U.append([
+            u_win[s, pl.ds(cp + dk, 1), dj : dj + ncy, di : di + ncx][0]
+            for s in range(3)
+        ])
+
+    f_el = [[None, None, None] for _ in range(8)]
+    for q in range(q_total):
+        # G[d][s] = sum_n gp[q, n, d] * U[n][s]
+        G = [[None] * 3 for _ in range(3)]
+        for d in range(3):
+            for s in range(3):
+                acc = None
+                for n in range(8):
+                    c = float(gp[q, n, d])
+                    if c == 0.0:
+                        continue
+                    term = c * U[n][s]
+                    acc = term if acc is None else acc + term
+                G[d][s] = acc if acc is not None else jnp.zeros((ncy, ncx), U[0][0].dtype)
+        # F = I + G^T:  F[i][j] = delta_ij + G[j][i]
+        F = [[G[j][i] + (1.0 if i == j else 0.0) for j in range(3)] for i in range(3)]
+        # det(F) = 1 + gamma with gamma from the displacement entries (log1p-stable)
+        a, b, c_ = G[0][0], G[1][0], G[2][0]
+        d_, e, f_ = G[0][1], G[1][1], G[2][1]
+        g_, h_, i_ = G[0][2], G[1][2], G[2][2]
+        # du_dX = G^T; gamma = tr + minors + det of du_dX
+        gamma = (
+            (a + e + i_)
+            + (a * e - b * d_ + a * i_ - c_ * g_ + e * i_ - f_ * h_)
+            + (a * (e * i_ - f_ * h_) - b * (d_ * i_ - f_ * g_) + c_ * (d_ * h_ - e * g_))
+        )
+        det = 1.0 + gamma
+        logJ = jnp.log1p(jnp.maximum(gamma, -0.999999))
+        alpha = -mu + lam * logJ
+        inv_det = 1.0 / det
+        # cofactors of F: cof[i][j] = d(det)/d(F[i][j]);  Finv^T = cof / det
+        cof = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for j in range(3):
+                i1, i2 = (i + 1) % 3, (i + 2) % 3
+                j1, j2 = (j + 1) % 3, (j + 2) % 3
+                cof[i][j] = F[i1][j1] * F[i2][j2] - F[i1][j2] * F[i2][j1]
+        # P = alpha * Finv^T + mu * F;  g = P^T  => g[d][s] = P[s][d]
+        # Finv^T[i][j] = cof[i][j] / det
+        P = [[alpha * cof[i][j] * inv_det + mu * F[i][j] for j in range(3)] for i in range(3)]
+        w = float(wdet[q]) if np.ndim(wdet[q]) == 0 else wdet[q]
+        for n in range(8):
+            for s in range(3):
+                acc = None
+                for d in range(3):
+                    cg = float(gp[q, n, d])
+                    if cg == 0.0:
+                        continue
+                    term = cg * P[s][d]
+                    acc = term if acc is None else acc + term
+                contrib = (w * valid) * acc
+                f_el[n][s] = contrib if f_el[n][s] is None else f_el[n][s] + contrib
+    # zero out contributions of x/y padding cells
+    if xy_mask is not None:
+        for n in range(8):
+            for s in range(3):
+                f_el[n][s] = f_el[n][s] * xy_mask
+    return f_el
+
+
+def _kernel(gp, wdet, KZ, ncy, ncx, ny, nx, ncz, ncy0, ncx0, mu, lam, u_hbm, out_ref, u_win, acc_ref, sem):
+    i = pl.program_id(0)
+    # DMA the (KZ + 2)-plane window (padded u has one leading ghost plane,
+    # so window w covers global node planes [i*KZ - 1, i*KZ + KZ]).
+    cp_base = i * KZ
+    dma = pltpu.make_async_copy(
+        u_hbm.at[:, pl.ds(cp_base, KZ + 2)], u_win, sem
+    )
+    dma.start()
+    dma.wait()
+    dt = out_ref.dtype
+
+    if ncy0 < ncy or ncx0 < ncx:
+        row = jax.lax.broadcasted_iota(jnp.int32, (ncy, ncx), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (ncy, ncx), 1)
+        xy_mask = ((row < ncy0) & (col < ncx0)).astype(dt)
+    else:
+        xy_mask = None
+
+    # accumulate into a VMEM scratch ref; loop cell planes with fori_loop
+    # (keeps the Mosaic program small — full unrolling blows up compile
+    # time and has shown miscompiles)
+    acc_ref[:] = jnp.zeros((3, KZ + 2, ny, nx), dt)
+
+    def plane_body(cp, _):
+        # global cell plane index of this window slot
+        gcp = cp_base + cp - 1
+        valid = ((gcp >= 0) & (gcp < ncz)).astype(dt)
+        f_el = _nh_force_plane(u_win, cp, gp, wdet, mu, lam, ncy, ncx, valid, xy_mask)
+        for n, (di, dj, dk) in enumerate(_OFFSETS):
+            for s in range(3):
+                sl = (s, pl.ds(cp + dk, 1), slice(dj, dj + ncy), slice(di, di + ncx))
+                acc_ref[sl] = acc_ref[sl] + f_el[n][s][None]
+        return 0
+
+    jax.lax.fori_loop(0, KZ + 1, plane_body, 0)
+    # write owned node planes: window slots [1, KZ] (global [i*KZ, i*KZ+KZ))
+    out_ref[:] = acc_ref[:, 1 : KZ + 1]
+
+
+def neo_hookean_residual_pallas(u_grid, spacing, mu, lam, KZ: int = 8):
+    """Internal forces of a Neo-Hookean structured hex model.
+
+    ``u_grid``: [3, nz, ny, nx] float32 displacement grid (node planes).
+    Returns the internal-force grid of the same shape.  ``mu``/``lam`` are
+    Python floats (baked into the kernel).
+    """
+    u_grid = jnp.asarray(u_grid, jnp.float32)
+    _, nz, ny0, nx0 = u_grid.shape
+    # Mosaic requires >= 128 lanes (and prefers >= 8 sublanes): pad the
+    # x/y node dims; padded nodes carry zero displacement and their cells
+    # produce forces only outside the trimmed output region.
+    nx = max(128, nx0)
+    ny = max(8, ny0)
+    ncz, ncy, ncx = nz - 1, ny - 1, nx - 1
+    gp, wdet = _gp_table(spacing)
+
+    steps = -(-nz // KZ)
+    nz_pad = steps * KZ
+    # leading ghost plane + trailing padding to cover every window
+    u_p = jnp.pad(
+        u_grid, ((0, 0), (1, nz_pad + 1 - nz), (0, ny - ny0), (0, nx - nx0))
+    )
+
+    kernel = functools.partial(
+        _kernel, gp, wdet, KZ, ncy, ncx, ny, nx, nz - 1, ny0 - 1, nx0 - 1,
+        float(mu), float(lam)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (3, KZ, ny, nx), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, nz_pad, ny, nx), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, KZ + 2, ny, nx), jnp.float32),
+            pltpu.VMEM((3, KZ + 2, ny, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(u_p)
+    return out[:, :nz, :ny0, :nx0]
