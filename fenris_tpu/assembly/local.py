@@ -321,3 +321,29 @@ def assemble_element_source_vectors(
     b = jnp.einsum("eq,eqs,qn->ens", wdet, fvals, phi)
     E, n = b.shape[0], b.shape[1]
     return b.reshape(E, n * solution_dim)
+
+
+def assemble_element_surface_source_vectors(
+    X_geo, source: Callable, params, solution_dim: int, tab: Tabulation
+):
+    """Surface (traction / Neumann) load vectors b[e, (I,i)] = ∫_Γ t(x)_i φ_I.
+
+    Like :func:`assemble_element_source_vectors` but for surface elements
+    embedded in a higher-dimensional space (non-square jacobians): the
+    weight uses the generalized volume form sqrt(det(JᵀJ)).  ``X_geo``:
+    [E, m, D] face geometry nodes (e.g. from ``mesh.boundary_mesh()``).
+    """
+    from ..integrate import volume_form
+
+    dtype = X_geo.dtype
+    gphi = jnp.asarray(tab.geo_phi, dtype=dtype)
+    gdphi = jnp.asarray(tab.geo_dphi, dtype=dtype)
+    phi = jnp.asarray(tab.phi, dtype=dtype)
+    w = jnp.asarray(tab.weights, dtype=dtype)
+    J = jacobians(X_geo, gdphi)
+    wvol = w[None, :] * volume_form(J)
+    x = jnp.einsum("qm,emd->eqd", gphi, X_geo)
+    fvals = _vmap2(lambda xp, p: jnp.atleast_1d(source(xp, p)), params)(x, params)
+    b = jnp.einsum("eq,eqs,qn->ens", wvol, fvals, phi)
+    E, n = b.shape[0], b.shape[1]
+    return b.reshape(E, n * solution_dim)

@@ -235,3 +235,29 @@ def test_chunked_scatter_matches_unchunked(rng):
     v1 = np.asarray(G.assemble_csr(A_el, pat, num_chunks=1))
     v2 = np.asarray(G.assemble_csr(A_el, pat, num_chunks=7))
     assert np.abs(v1 - v2).max() < 1e-12
+
+
+def test_surface_traction_load():
+    """Traction on the top face of a cube: total load = traction * area."""
+    import jax.numpy as jnp
+
+    mesh = procedural.create_unit_box_uniform_hex_mesh_3d(2)
+    surf = mesh.boundary_mesh()
+    # keep only the z = 1 faces
+    top = np.flatnonzero(
+        (np.abs(mesh.points[surf.cells][:, :, 2] - 1.0) < 1e-12).all(axis=1)
+    )
+    faces = surf.cells[top]
+    tab = L.tabulate(surf.element, quad.quadrilateral_gauss(2))
+    X = jnp.asarray(mesh.points[faces])
+    traction = np.array([0.0, 0.0, -7.5])
+    b_el = L.assemble_element_surface_source_vectors(
+        X, lambda x, p: jnp.asarray(traction, dtype=x.dtype), None, 3, tab
+    )
+    dofs = G.element_dof_indices(faces, 3)
+    b = G.assemble_vector(b_el, jnp.asarray(dofs), mesh.num_vertices * 3)
+    totals = np.asarray(b).reshape(-1, 3).sum(axis=0)
+    assert np.abs(totals - traction).max() < 1e-12  # area = 1
+    # load only on top-face nodes
+    loaded = np.flatnonzero(np.abs(np.asarray(b)) > 1e-14) // 3
+    assert (np.abs(mesh.points[np.unique(loaded), 2] - 1.0) < 1e-12).all()
