@@ -248,14 +248,4 @@ class StructuredHyperelasticModel:
         from .mesh.procedural import create_rectangular_uniform_hex_mesh
 
         ncx, ncy, ncz = self.cells
-        return create_rectangular_uniform_hex_mesh(
-            self.spacing * ncx, 1, 1, 1, 1
-        ) if False else _box_mesh(self.cells, self.spacing)
-
-
-def _box_mesh(cells, spacing) -> Mesh:
-    from .mesh.procedural import create_rectangular_uniform_hex_mesh
-
-    ncx, ncy, ncz = cells
-    # create with unit counts scaled: units = cell counts, 1 cell per unit
-    return create_rectangular_uniform_hex_mesh(spacing, ncx, ncy, ncz, 1)
+        return create_rectangular_uniform_hex_mesh(self.spacing, ncx, ncy, ncz, 1)
