@@ -70,9 +70,20 @@ class StructuredHyperelasticModel:
     dirichlet_mask: Any = None
     body_force: Any = None
     dtype: Any = jnp.float32
+    #: cell planes per z-chunk for the assembly sweeps (None = auto: single
+    #: fused sweep for small grids, chunked lax.scan above ~256k elements
+    #: to bound the [3, 3, q, grid] intermediate memory).
+    z_chunk_planes: Any = None
 
     def __post_init__(self):
         ncx, ncy, ncz = self.cells
+        if self.z_chunk_planes is None:
+            E = ncx * ncy * ncz
+            if E > 2**18:
+                per_plane = ncx * ncy
+                self.z_chunk_planes = max(1, 2**18 // per_plane)
+            else:
+                self.z_chunk_planes = 0  # single sweep
         self.node_shape = (ncz + 1, ncy + 1, ncx + 1)  # (z, y, x) grid
         self.num_nodes = int(np.prod(self.node_shape))
         self.num_dofs = self.num_nodes * 3
@@ -165,14 +176,77 @@ class StructuredHyperelasticModel:
         out = jax.vmap(lambda Gp: fn(Gp), in_axes=-1, out_axes=-1)(flat)
         return out, (q, B)
 
-    def internal_forces(self, u):
-        G = self._u_grad(u)
-        g_flat, (q, B) = self._pointwise(
-            lambda Gp: self.operator.g(Gp, self.params), G
-        )  # [d, s, q*B]
-        g = g_flat.reshape((3, 3, q) + G.shape[3:])  # [d, s, q, zc, yc, xc]
+    def _slab_forces_local(self, u_slab, zmask):
+        """Forces of a slab of cell planes from its (slab+1)-plane node data.
+
+        ``u_slab``: [s, slab+1, y, x]; ``zmask``: [slab] validity of each
+        cell plane.  Returns [s, slab+1, y, x] local node forces.
+        """
+        ncx, ncy, _ = self.cells
+        slab = u_slab.shape[1] - 1
+        views = [
+            u_slab[:, dk : dk + slab, dj : dj + ncy, di : di + ncx]
+            for (di, dj, dk) in _OFFSETS
+        ]
+        U = jnp.stack(views, axis=0)  # [n, s, slab, yc, xc]
+        G = jnp.einsum("qnd,nszyx->dsqzyx", self.gp, U)
+        q = G.shape[2]
+        B = int(np.prod(G.shape[3:]))
+        flat = G.reshape(3, 3, q * B)
+        g = jax.vmap(
+            lambda Gp: self.operator.g(Gp, self.params), in_axes=-1, out_axes=-1
+        )(flat).reshape((3, 3, q) + G.shape[3:])
         f_el = jnp.einsum("q,qnd,dsqzyx->nszyx", self.wdet, self.gp, g)
-        return self._ungrid(self._scatter_nodes(f_el))
+        f_el = f_el * zmask[None, None, :, None, None]
+        out = jnp.zeros((3, slab + 1) + self.node_shape[1:], f_el.dtype)
+        for n, (di, dj, dk) in enumerate(_OFFSETS):
+            out = jax.lax.dynamic_update_slice(
+                out,
+                jax.lax.dynamic_slice(out, (0, dk, dj, di), (3, slab, ncy, ncx))
+                + f_el[n],
+                (0, dk, dj, di),
+            )
+        return out
+
+    def internal_forces(self, u):
+        if not self.z_chunk_planes:
+            G = self._u_grad(u)
+            g_flat, (q, B) = self._pointwise(
+                lambda Gp: self.operator.g(Gp, self.params), G
+            )  # [d, s, q*B]
+            g = g_flat.reshape((3, 3, q) + G.shape[3:])
+            f_el = jnp.einsum("q,qnd,dsqzyx->nszyx", self.wdet, self.gp, g)
+            return self._ungrid(self._scatter_nodes(f_el))
+
+        # chunked: lax.scan over z-slabs of cell planes
+        ncx, ncy, ncz = self.cells
+        slab = int(self.z_chunk_planes)
+        k = -(-ncz // slab)
+        ncz_pad = k * slab
+        ug = self._grid(u)
+        ug_p = jnp.pad(ug, ((0, 0), (0, ncz_pad + 1 - self.node_shape[0]), (0, 0), (0, 0)))
+        zmask = jnp.asarray(
+            (np.arange(ncz_pad) < ncz).astype(np.float32).reshape(k, slab),
+            ug.dtype,
+        )
+        starts = jnp.asarray(np.arange(k) * slab, jnp.int32)
+
+        def body(acc, xs):
+            z0, zm = xs
+            zero = jnp.zeros((), z0.dtype)
+            u_slab = jax.lax.dynamic_slice(
+                ug_p, (zero, z0, zero, zero), (3, slab + 1) + self.node_shape[1:]
+            )
+            f_local = self._slab_forces_local(u_slab, zm)
+            cur = jax.lax.dynamic_slice(
+                acc, (zero, z0, zero, zero), (3, slab + 1) + self.node_shape[1:]
+            )
+            acc = jax.lax.dynamic_update_slice(acc, cur + f_local, (zero, z0, zero, zero))
+            return acc, None
+
+        acc0 = jnp.zeros((3, ncz_pad + 1) + self.node_shape[1:], ug.dtype)
+        acc, _ = jax.lax.scan(body, acc0, (starts, zmask))
+        return self._ungrid(acc[:, : self.node_shape[0]])
 
     def residual(self, u):
         r = self.internal_forces(u) - self._f_ext
@@ -194,17 +268,79 @@ class StructuredHyperelasticModel:
         psi = psi.reshape((q,) + G.shape[3:])
         return jnp.einsum("q,qzyx->", self.wdet, psi) - jnp.vdot(self._f_ext, u)
 
+    def _slab_diag_local(self, u_slab, zmask):
+        """Hessian-diagonal contributions of a slab ([s, slab+1, y, x])."""
+        ncx, ncy, _ = self.cells
+        slab = u_slab.shape[1] - 1
+        views = [
+            u_slab[:, dk : dk + slab, dj : dj + ncy, di : di + ncx]
+            for (di, dj, dk) in _OFFSETS
+        ]
+        U = jnp.stack(views, axis=0)
+        G = jnp.einsum("qnd,nszyx->dsqzyx", self.gp, U)
+        q = G.shape[2]
+        B = int(np.prod(G.shape[3:]))
+        flat = G.reshape(3, 3, q * B)
+        D = jax.vmap(
+            lambda Gp: self.operator.contraction(Gp, self.params),
+            in_axes=-1,
+            out_axes=-1,
+        )(flat).reshape((3, 3, 3, 3, q) + G.shape[3:])
+        d_el = jnp.einsum("q,qnk,kimiqzyx,qnm->nizyx", self.wdet, self.gp, D, self.gp)
+        d_el = d_el * zmask[None, None, :, None, None]
+        out = jnp.zeros((3, slab + 1) + self.node_shape[1:], d_el.dtype)
+        for n, (di, dj, dk) in enumerate(_OFFSETS):
+            out = jax.lax.dynamic_update_slice(
+                out,
+                jax.lax.dynamic_slice(out, (0, dk, dj, di), (3, slab, ncy, ncx))
+                + d_el[n],
+                (0, dk, dj, di),
+            )
+        return out
+
     def hessian_diagonal(self, u):
         """Assembled Hessian diagonal via the contraction tensor stencil."""
-        G = self._u_grad(u)
-        q = G.shape[2]
-        D_flat, (q, B) = self._pointwise(
-            lambda Gp: self.operator.contraction(Gp, self.params), G
-        )  # [k, i, m, j, q*B]
-        D = D_flat.reshape((3, 3, 3, 3, q) + G.shape[3:])
-        # d_el[n, i, ...] = sum_q w gp[q,n,k] D[k,i,m,i] gp[q,n,m]
-        d_el = jnp.einsum("q,qnk,kimiqzyx,qnm->nizyx", self.wdet, self.gp, D, self.gp)
-        diag = self._ungrid(self._scatter_nodes(d_el))
+        if not self.z_chunk_planes:
+            G = self._u_grad(u)
+            q = G.shape[2]
+            D_flat, (q, B) = self._pointwise(
+                lambda Gp: self.operator.contraction(Gp, self.params), G
+            )  # [k, i, m, j, q*B]
+            D = D_flat.reshape((3, 3, 3, 3, q) + G.shape[3:])
+            # d_el[n, i, ...] = sum_q w gp[q,n,k] D[k,i,m,i] gp[q,n,m]
+            d_el = jnp.einsum(
+                "q,qnk,kimiqzyx,qnm->nizyx", self.wdet, self.gp, D, self.gp
+            )
+            diag = self._ungrid(self._scatter_nodes(d_el))
+            return jnp.where(self.free_mask & (diag != 0.0), diag, 1.0)
+
+        ncx, ncy, ncz = self.cells
+        slab = int(self.z_chunk_planes)
+        k = -(-ncz // slab)
+        ncz_pad = k * slab
+        ug = self._grid(u)
+        ug_p = jnp.pad(ug, ((0, 0), (0, ncz_pad + 1 - self.node_shape[0]), (0, 0), (0, 0)))
+        zmask = jnp.asarray(
+            (np.arange(ncz_pad) < ncz).astype(np.float32).reshape(k, slab), ug.dtype
+        )
+        starts = jnp.asarray(np.arange(k) * slab, jnp.int32)
+
+        def body(acc, xs):
+            z0, zm = xs
+            zero = jnp.zeros((), z0.dtype)
+            u_slab = jax.lax.dynamic_slice(
+                ug_p, (zero, z0, zero, zero), (3, slab + 1) + self.node_shape[1:]
+            )
+            d_local = self._slab_diag_local(u_slab, zm)
+            cur = jax.lax.dynamic_slice(
+                acc, (zero, z0, zero, zero), (3, slab + 1) + self.node_shape[1:]
+            )
+            acc = jax.lax.dynamic_update_slice(acc, cur + d_local, (zero, z0, zero, zero))
+            return acc, None
+
+        acc0 = jnp.zeros((3, ncz_pad + 1) + self.node_shape[1:], ug.dtype)
+        acc, _ = jax.lax.scan(body, acc0, (starts, zmask))
+        diag = self._ungrid(acc[:, : self.node_shape[0]])
         return jnp.where(self.free_mask & (diag != 0.0), diag, 1.0)
 
     # -- solve -----------------------------------------------------------------

@@ -99,3 +99,37 @@ def test_structured_solve_matches_unstructured():
 def test_external_forces_match():
     un, st = _models()
     assert np.abs(np.asarray(un._f_ext) - np.asarray(st._f_ext)).max() < 1e-11
+
+
+def test_chunked_sweeps_match_single(rng):
+    """z-chunked internal forces / diagonal equal the single-sweep path."""
+    kwargs = dict(
+        spacing=0.3,
+        material=NeoHookeanMaterial(),
+        params=PARAMS,
+        body_force=np.array([0.0, 0.0, -3.0]),
+        dtype=jnp.float64,
+    )
+    single = StructuredHyperelasticModel(cells=(4, 3, 7), z_chunk_planes=0, **kwargs)
+    chunked = StructuredHyperelasticModel(cells=(4, 3, 7), z_chunk_planes=2, **kwargs)
+    u = jnp.asarray(rng.uniform(-0.02, 0.02, size=single.num_dofs))
+    assert (
+        np.abs(
+            np.asarray(single.internal_forces(u)) - np.asarray(chunked.internal_forces(u))
+        ).max()
+        < 1e-12
+    )
+    assert (
+        np.abs(
+            np.asarray(single.hessian_diagonal(u)) - np.asarray(chunked.hessian_diagonal(u))
+        ).max()
+        < 1e-12
+    )
+    v = jnp.asarray(rng.standard_normal(single.num_dofs))
+    assert (
+        np.abs(
+            np.asarray(single.hessian_vector_product(u, v))
+            - np.asarray(chunked.hessian_vector_product(u, v))
+        ).max()
+        < 1e-11
+    )
