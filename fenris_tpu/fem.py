@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import quadrature as quad
 from .assembly import global_ as G
 from .assembly import local as L
 from .error import estimate_H1_seminorm_error, estimate_L2_error

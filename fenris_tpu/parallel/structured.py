@@ -17,9 +17,6 @@ which this layout is designed to accommodate.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,7 +26,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..optimize import newton_line_search
 from ..sparse.cg import conjugate_gradient
 from ..structured import _OFFSETS, StructuredHyperelasticModel
-from . import make_device_mesh
 
 __all__ = ["StructuredShardedElasticity"]
 

@@ -28,7 +28,7 @@ it to roundoff; tests assert exact correspondence.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
