@@ -1,0 +1,188 @@
+"""Geometric multigrid preconditioning for structured-grid elasticity.
+
+The reference's linear solver story is Jacobi-preconditioned CG
+(fenris-sparse cg.rs) — adequate at its shared-memory scales but O(1/h)
+iterations.  At the TPU-native target scale (10M+ dofs) the inner Krylov
+solve dominates; this module supplies the missing piece: a **matrix-free
+geometric V-cycle** on the uniform hex grid, where every transfer operator
+is pure slicing/averaging (no gather/scatter — the same hardware insight
+as :mod:`.structured`):
+
+* level hierarchy: cell counts halved per level while even;
+* level operators: **rediscretized constant-coefficient linear elasticity**
+  (the u-independent small-strain Hessian) via the same stencil machinery
+  (`StructuredHyperelasticModel` with `LinearElasticMaterial`), built once
+  and reused across all Newton iterations — a spectrally-equivalent
+  preconditioner for the Neo-Hookean Hessian at moderate strains;
+* smoother: damped Jacobi (symmetric pre/post, SPD-preserving);
+* transfers: full-weighting restriction / trilinear prolongation as
+  strided slices;
+* Dirichlet constraints: masked at every level (masks restricted by
+  injection).
+
+Used as the preconditioner inside the existing CG; tests verify V-cycle
+symmetry/positivity behavior indirectly through CG convergence-rate
+improvements and exact-solution recovery.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .solid import LameParameters, LinearElasticMaterial
+
+__all__ = ["StructuredMGPreconditioner"]
+
+
+def _smooth_axis(a, axis):
+    """[1/4, 1/2, 1/4] stencil along an axis with zero (Dirichlet) edges."""
+    lo = jnp.concatenate(
+        [jnp.zeros_like(jax.lax.slice_in_dim(a, 0, 1, axis=axis)),
+         jax.lax.slice_in_dim(a, 0, a.shape[axis] - 1, axis=axis)],
+        axis=axis,
+    )
+    hi = jnp.concatenate(
+        [jax.lax.slice_in_dim(a, 1, a.shape[axis], axis=axis),
+         jnp.zeros_like(jax.lax.slice_in_dim(a, 0, 1, axis=axis))],
+        axis=axis,
+    )
+    return 0.25 * lo + 0.5 * a + 0.25 * hi
+
+
+def _restrict(v):
+    """Galerkin restriction R = Pᵀ on a [s, z, y, x] node grid (fine->coarse).
+
+    Pᵀ for trilinear prolongation has per-axis weights [1/2, 1, 1/2]
+    (zero-extended at boundaries); fine grids have odd node counts (2m+1),
+    coarse nodes at even fine indices.  Using Pᵀ (not the averaged
+    [1/4,1/2,1/4] form) keeps the restricted residual consistent with the
+    rediscretized coarse FEM operator, whose entries scale like h in 3D.
+    """
+    for axis in (1, 2, 3):
+        v = 2.0 * _smooth_axis(v, axis)
+    return v[:, ::2, ::2, ::2]
+
+
+def _prolong_axis(a, axis):
+    """Linear interpolation doubling (2m+1 -> 4m+1 nodes) along an axis."""
+    n = a.shape[axis]
+    left = jax.lax.slice_in_dim(a, 0, n - 1, axis=axis)
+    right = jax.lax.slice_in_dim(a, 1, n, axis=axis)
+    mid = 0.5 * (left + right)
+    # interleave: out[2i] = a[i], out[2i+1] = mid[i]
+    stacked = jnp.stack([left, mid], axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] = 2 * (n - 1)
+    inter = stacked.reshape(shape)
+    last = jax.lax.slice_in_dim(a, n - 1, n, axis=axis)
+    return jnp.concatenate([inter, last], axis=axis)
+
+
+def _prolong(v):
+    """Trilinear prolongation (coarse -> fine) on [s, z, y, x] node grids."""
+    for axis in (1, 2, 3):
+        v = _prolong_axis(v, axis)
+    return v
+
+
+@dataclass
+class StructuredMGPreconditioner:
+    """V-cycle preconditioner for a structured hyperelastic model.
+
+    Args:
+        model: a :class:`~fenris_tpu.structured.StructuredHyperelasticModel`
+            (provides grid geometry, Lamé parameters and the Dirichlet mask).
+        num_smooth: pre- and post-smoothing sweeps (damped Jacobi).
+        omega: Jacobi damping.
+        coarse_iters: Jacobi iterations at the coarsest level.
+    """
+
+    model: Any
+    num_smooth: int = 2
+    omega: float = 0.5
+    coarse_iters: int = 40
+
+    def __post_init__(self):
+        m = self.model
+        params = m.params
+        mu = float(params.mu)
+        lam = float(params.lam)
+
+        # Build the level hierarchy: (cells, spacing, linear model, masks)
+        from .structured import StructuredHyperelasticModel
+
+        self.levels: List[dict] = []
+        cells = tuple(int(c) for c in m.cells)
+        spacing = float(m.spacing)
+        free = np.asarray(m.free_mask).reshape(m.node_shape + (3,))
+        while True:
+            lin = StructuredHyperelasticModel(
+                cells=cells,
+                spacing=spacing,
+                material=LinearElasticMaterial(),
+                params=LameParameters(mu=mu, lam=lam),
+                dtype=m.dtype,
+            )
+            u0 = jnp.zeros(lin.num_dofs, m.dtype)
+            diag = lin.hessian_diagonal(u0)
+            free_flat = jnp.asarray(free.reshape(-1))
+            diag = jnp.where(free_flat, diag, 1.0)
+            self.levels.append(
+                dict(
+                    model=lin,
+                    node_shape=lin.node_shape,
+                    free=free_flat,
+                    inv_diag=1.0 / diag,
+                )
+            )
+            if any(c % 2 or c < 4 for c in cells) or len(self.levels) >= 6:
+                break
+            cells = tuple(c // 2 for c in cells)
+            spacing *= 2.0
+            free = free[::2, ::2, ::2, :]  # injection of the constraint mask
+
+    # -- level operations -----------------------------------------------------
+
+    def _apply(self, lvl, v):
+        L = self.levels[lvl]
+        vm = jnp.where(L["free"], v, 0.0)
+        # linear material: Hessian action == internal forces (u-independent)
+        av = L["model"].internal_forces(vm)
+        return jnp.where(L["free"], av, v)
+
+    def _smooth(self, lvl, x, b, iters):
+        L = self.levels[lvl]
+
+        def body(i, x):
+            r = b - self._apply(lvl, x)
+            return x + self.omega * L["inv_diag"] * r
+
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    def _to_grid(self, lvl, v):
+        return jnp.moveaxis(v.reshape(self.levels[lvl]["node_shape"] + (3,)), -1, 0)
+
+    def _from_grid(self, lvl, g):
+        return jnp.moveaxis(g, 0, -1).reshape(-1)
+
+    def _vcycle(self, lvl, b):
+        x = self._smooth(lvl, jnp.zeros_like(b), b, self.num_smooth)
+        if lvl == len(self.levels) - 1:
+            return self._smooth(lvl, x, b, self.coarse_iters)
+        r = b - self._apply(lvl, x)
+        r_c = self._from_grid(lvl + 1, _restrict(self._to_grid(lvl, r)))
+        r_c = jnp.where(self.levels[lvl + 1]["free"], r_c, 0.0)
+        e_c = self._vcycle(lvl + 1, r_c)
+        e = self._from_grid(lvl, _prolong(self._to_grid(lvl + 1, e_c)))
+        e = jnp.where(self.levels[lvl]["free"], e, 0.0)
+        x = x + e
+        return self._smooth(lvl, x, b, self.num_smooth)
+
+    def __call__(self, r):
+        """Apply the V-cycle preconditioner: M^{-1} r."""
+        return self._vcycle(0, r)

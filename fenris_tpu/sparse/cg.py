@@ -88,9 +88,12 @@ def conjugate_gradient(
     # XLA constants inside the while-loop body hit a pathological slow path
     # (~1000x slower gathers than the same arrays passed as parameters).
     probe = jnp.zeros_like(b)
-    A_conv, a_consts = jax.closure_convert(A, probe)
+    # wrap in plain lambdas: closure_convert caches by callable hash, and
+    # callable objects (e.g. multigrid preconditioners) may be unhashable
+    A_conv, a_consts = jax.closure_convert(lambda v: A(v), probe)
     if M is not None:
-        M_conv, m_consts = jax.closure_convert(M, probe)
+        M_fn = M
+        M_conv, m_consts = jax.closure_convert(lambda v: M_fn(v), probe)
     else:
         M_conv, m_consts = None, ()
 

@@ -353,16 +353,30 @@ class StructuredHyperelasticModel:
         cg_rel_tolerance: float = 1e-5,
         cg_max_iter: int = 1000,
         line_search: bool = True,
+        preconditioner: str = "jacobi",
     ) -> NewtonResult:
+        """Newton-Krylov solve; ``preconditioner`` is "jacobi" or "mg"
+        (geometric multigrid V-cycle — essential at 1M+ dofs, see
+        :mod:`fenris_tpu.multigrid`)."""
         if u0 is None:
             u0 = jnp.zeros(self.num_dofs, self.dtype)
 
+        mg = None
+        if preconditioner == "mg":
+            from .multigrid import StructuredMGPreconditioner
+
+            mg = StructuredMGPreconditioner(self)
+
         def solve_jacobian(u, f):
-            inv_diag = 1.0 / self.hessian_diagonal(u)
+            if mg is not None:
+                prec = mg
+            else:
+                inv_diag = 1.0 / self.hessian_diagonal(u)
+                prec = lambda v: inv_diag * v
             return conjugate_gradient(
                 lambda v: self.hessian_vector_product(u, v),
                 f,
-                preconditioner=lambda v: inv_diag * v,
+                preconditioner=prec,
                 rel_tolerance=cg_rel_tolerance,
                 max_iter=cg_max_iter,
                 check_definiteness=False,
