@@ -1,7 +1,9 @@
-"""Gmsh ``.msh`` (MSH 4.1 ASCII) import.
+"""Gmsh ``.msh`` (MSH 4.1, ASCII and binary) import.
 
 Parity: src/io/msh.rs — ``load_msh_from_file``/``from_bytes`` (:32, :44)
-with the ``MshConnectivity`` element-type mapping (:235-285).  Like the
+with the ``MshConnectivity`` element-type mapping (:235-285); like the
+reference's ``mshio`` backend, both ASCII and binary MSH 4.1 payloads are
+accepted (little- and big-endian).  Like the
 reference, node orderings are taken verbatim from the file: our reference
 node orderings coincide with Gmsh's for all supported cell types
 (a deliberate property shared with the reference).
@@ -39,8 +41,15 @@ MSH_ELEMENT_TYPES = {
 }
 
 
+# nodes per Gmsh element type (for skipping unkept blocks in binary files)
+_MSH_NODE_COUNTS = {
+    1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 6: 6, 7: 5, 8: 3, 9: 6, 10: 9,
+    11: 10, 12: 27, 13: 18, 14: 14, 15: 1, 16: 8, 17: 20, 18: 15, 19: 13,
+}
+
+
 def load_msh(path, element_type: Optional[str] = None, dim: Optional[int] = None) -> Mesh:
-    """Load a Gmsh MSH 4.1 ASCII file as a homogeneous mesh."""
+    """Load a Gmsh MSH 4.1 file (ASCII or binary) as a homogeneous mesh."""
     with open(path, "rb") as f:
         return load_msh_from_bytes(f.read(), element_type=element_type, dim=dim)
 
@@ -48,19 +57,18 @@ def load_msh(path, element_type: Optional[str] = None, dim: Optional[int] = None
 def load_msh_from_bytes(
     data: bytes, element_type: Optional[str] = None, dim: Optional[int] = None
 ) -> Mesh:
-    text = data.decode("utf-8", errors="replace")
-    sections = _split_sections(text)
-    if "MeshFormat" not in sections:
+    if b"$MeshFormat" not in data[:256]:
         raise ValueError("not a Gmsh msh file (missing $MeshFormat)")
-    fmt = sections["MeshFormat"][0].split()
-    version = fmt[0]
+    header = data.split(b"\n", 2)[1].split()
+    version = header[0].decode()
     if not version.startswith("4"):
         raise ValueError(f"unsupported MSH version {version} (MSH 4.x required)")
-    if fmt[1] != "0":
-        raise ValueError("binary MSH files are not supported yet")
-
-    node_tags, node_coords = _parse_nodes(sections["Nodes"])
-    blocks = _parse_elements(sections["Elements"])
+    if header[1] != b"0":
+        node_tags, node_coords, blocks = _parse_binary(data, int(header[2]))
+    else:
+        sections = _split_sections(data.decode("utf-8", errors="replace"))
+        node_tags, node_coords = _parse_nodes(sections["Nodes"])
+        blocks = _parse_elements(sections["Elements"])
 
     # Choose the element block(s) to extract
     if element_type is not None:
@@ -137,6 +145,69 @@ def _parse_nodes(body: List[str]) -> Tuple[np.ndarray, np.ndarray]:
         i += 2 * n
         out += n
     return tags[:out], coords[:out]
+
+
+def _parse_binary(data: bytes, size_t: int):
+    """Parse the Nodes/Elements sections of a binary MSH 4.1 payload.
+
+    Binary layout (Gmsh reference manual §9.1): the ``$MeshFormat`` body
+    carries an int ``1`` whose byte order fixes the file's endianness; the
+    Nodes/Elements section bodies are raw struct blocks.
+    """
+    if size_t not in (4, 8):
+        raise ValueError(f"unsupported MSH size_t width {size_t}")
+    # endianness probe: the int 1 following the "4.1 1 <size_t>" line
+    fmt_start = data.index(b"$MeshFormat")
+    probe_at = data.index(b"\n", data.index(b"\n", fmt_start) + 1) + 1
+    (probe,) = np.frombuffer(data[probe_at : probe_at + 4], "<i4")
+    bo = "<" if probe == 1 else ">"
+    i4, szt, f8 = np.dtype(bo + "i4"), np.dtype(f"{bo}u{size_t}"), np.dtype(bo + "f8")
+
+    def section(name: str):
+        start = data.index(b"$" + name.encode()) + len(name) + 2
+        end = data.index(b"$End" + name.encode())
+        return data[start:end], 0
+
+    def read(buf, pos, dtype, n):
+        nb = dtype.itemsize * n
+        return np.frombuffer(buf[pos : pos + nb], dtype, count=n), pos + nb
+
+    # -- Nodes
+    buf, pos = section("Nodes")
+    (hdr, pos) = read(buf, pos, szt, 4)
+    num_blocks, total = int(hdr[0]), int(hdr[1])
+    tags = np.empty(total, np.int64)
+    coords = np.empty((total, 3), np.float64)
+    out = 0
+    for _ in range(num_blocks):
+        meta_i, pos = read(buf, pos, i4, 3)  # entityDim, entityTag, parametric
+        (n_arr, pos) = read(buf, pos, szt, 1)
+        n = int(n_arr[0])
+        if meta_i[2] != 0:
+            raise ValueError("parametric node blocks are not supported")
+        t, pos = read(buf, pos, szt, n)
+        c, pos = read(buf, pos, f8, 3 * n)
+        tags[out : out + n] = t
+        coords[out : out + n] = c.reshape(n, 3)
+        out += n
+    node_tags, node_coords = tags[:out], coords[:out]
+
+    # -- Elements
+    buf, pos = section("Elements")
+    (hdr, pos) = read(buf, pos, szt, 4)
+    num_blocks = int(hdr[0])
+    blocks = []
+    for _ in range(num_blocks):
+        meta_i, pos = read(buf, pos, i4, 3)  # entityDim, entityTag, elementType
+        (n_arr, pos) = read(buf, pos, szt, 1)
+        etype, n = int(meta_i[2]), int(n_arr[0])
+        if etype not in _MSH_NODE_COUNTS:
+            raise ValueError(f"unknown msh element type {etype} in binary block")
+        width = 1 + _MSH_NODE_COUNTS[etype]
+        rows, pos = read(buf, pos, szt, n * width)
+        if n:
+            blocks.append((etype, rows.reshape(n, width)[:, 1:].astype(np.int64)))
+    return node_tags, node_coords, blocks
 
 
 def _parse_elements(body: List[str]):

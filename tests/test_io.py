@@ -106,3 +106,83 @@ def test_msh_vtu_pipeline(tmp_path):
     mesh = load_msh(MESH_DIR / "sphere_tet4_593.msh")
     write_vtu(tmp_path / "sphere.vtu", mesh, point_data={"r": np.linalg.norm(mesh.points, axis=1)})
     assert (tmp_path / "sphere.vtu").exists()
+
+
+# -- binary MSH 4.1 -----------------------------------------------------------
+
+
+def _ascii_msh_to_binary(path, endian="<", size_t=8):
+    """Re-encode an ASCII MSH 4.1 fixture as a binary MSH 4.1 payload."""
+    import re
+
+    text = Path(path).read_text()
+
+    def section(name):
+        m = re.search(rf"\${name}\n(.*?)\$End{name}", text, re.S)
+        return m.group(1).strip().splitlines()
+
+    szt = np.dtype(f"{endian}u{size_t}")
+    i4 = np.dtype(f"{endian}i4")
+    f8 = np.dtype(f"{endian}f8")
+    out = [f"$MeshFormat\n4.1 1 {size_t}\n".encode(),
+           np.asarray([1], i4).tobytes(), b"\n$EndMeshFormat\n"]
+
+    nodes = section("Nodes")
+    hdr = [int(v) for v in nodes[0].split()]
+    out.append(b"$Nodes\n" + np.asarray(hdr, szt).tobytes())
+    i = 1
+    for _ in range(hdr[0]):
+        dim, tag, par, n = (int(v) for v in nodes[i].split())
+        out.append(np.asarray([dim, tag, par], i4).tobytes())
+        out.append(np.asarray([n], szt).tobytes())
+        out.append(np.asarray([int(nodes[i + 1 + k]) for k in range(n)], szt).tobytes())
+        coords = [[float(v) for v in nodes[i + 1 + n + k].split()[:3]] for k in range(n)]
+        out.append(np.asarray(coords, f8).tobytes())
+        i += 1 + 2 * n
+    out.append(b"\n$EndNodes\n")
+
+    els = section("Elements")
+    hdr = [int(v) for v in els[0].split()]
+    out.append(b"$Elements\n" + np.asarray(hdr, szt).tobytes())
+    i = 1
+    for _ in range(hdr[0]):
+        dim, tag, etype, n = (int(v) for v in els[i].split())
+        out.append(np.asarray([dim, tag, etype], i4).tobytes())
+        out.append(np.asarray([n], szt).tobytes())
+        rows = [[int(v) for v in els[i + 1 + k].split()] for k in range(n)]
+        out.append(np.asarray(rows, szt).tobytes())
+        i += 1 + n
+    out.append(b"\n$EndElements\n")
+    return b"".join(out)
+
+
+@pytest.mark.parametrize("fname,eltype,ncells", FIXTURES)
+def test_load_msh_binary_matches_ascii(fname, eltype, ncells):
+    from fenris_tpu.io.msh import load_msh_from_bytes
+
+    ascii_mesh = load_msh(MESH_DIR / fname)
+    bin_mesh = load_msh_from_bytes(_ascii_msh_to_binary(MESH_DIR / fname))
+    assert bin_mesh.element.name == ascii_mesh.element.name == eltype
+    assert bin_mesh.num_cells == ncells
+    np.testing.assert_array_equal(
+        np.asarray(bin_mesh.cells), np.asarray(ascii_mesh.cells)
+    )
+    np.testing.assert_allclose(
+        np.asarray(bin_mesh.points), np.asarray(ascii_mesh.points), rtol=0, atol=0
+    )
+
+
+@pytest.mark.parametrize("endian,size_t", [(">", 8), ("<", 4)])
+def test_load_msh_binary_variants(endian, size_t):
+    from fenris_tpu.io.msh import load_msh_from_bytes
+
+    fname = "square_quad4_4.msh"
+    ascii_mesh = load_msh(MESH_DIR / fname)
+    blob = _ascii_msh_to_binary(MESH_DIR / fname, endian=endian, size_t=size_t)
+    bin_mesh = load_msh_from_bytes(blob)
+    np.testing.assert_array_equal(
+        np.asarray(bin_mesh.cells), np.asarray(ascii_mesh.cells)
+    )
+    np.testing.assert_allclose(
+        np.asarray(bin_mesh.points), np.asarray(ascii_mesh.points), rtol=0, atol=0
+    )
