@@ -71,17 +71,20 @@ class StructuredHyperelasticModel:
     body_force: Any = None
     dtype: Any = jnp.float32
     #: cell planes per z-chunk for the assembly sweeps (None = auto: single
-    #: fused sweep for small grids, chunked lax.scan above ~256k elements
-    #: to bound the [3, 3, q, grid] intermediate memory).
+    #: fused sweep for small grids; above ~128k elements a chunked lax.scan
+    #: keeping each chunk's [3, 3, q, chunk] intermediates VMEM-resident —
+    #: measured optimum ~8k cells/chunk with a 2-plane floor (the +1 halo
+    #: plane makes thinner chunks re-read too much; v5e sweep in git history:
+    #: 2 planes = 74M el/s hvp vs 20 planes = 41M at 1M elements).
     z_chunk_planes: Any = None
 
     def __post_init__(self):
         ncx, ncy, ncz = self.cells
         if self.z_chunk_planes is None:
             E = ncx * ncy * ncz
-            if E > 2**18:
+            if E > 2**17:
                 per_plane = ncx * ncy
-                self.z_chunk_planes = max(1, 2**18 // per_plane)
+                self.z_chunk_planes = max(2, 8192 // per_plane)
             else:
                 self.z_chunk_planes = 0  # single sweep
         self.node_shape = (ncz + 1, ncy + 1, ncx + 1)  # (z, y, x) grid
