@@ -30,6 +30,8 @@ from dataclasses import dataclass
 from functools import partial
 from typing import Any, Callable, Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,6 +50,11 @@ __all__ = [
     "assemble_element_mass_matrices",
     "assemble_element_source_vectors",
 ]
+
+from ..config import MATMUL_PRECISION
+
+# f32 einsums must not route through bf16 MXU passes (see config.py)
+_einsum = functools.partial(jnp.einsum, precision=MATMUL_PRECISION)
 
 
 @dataclass(frozen=True)
@@ -94,7 +101,7 @@ def jacobians(X_geo, geo_dphi):
 
     ``X_geo``: [E, m, d_space]; ``geo_dphi``: [q, m, d_ref].
     """
-    return jnp.einsum("emi,qmj->eqij", X_geo, geo_dphi)
+    return _einsum("emi,qmj->eqij", X_geo, geo_dphi)
 
 
 def _det2(J):
@@ -172,7 +179,7 @@ def physical_gradients(dphi, Jinv):
 
     ``dphi``: [q, n, d]; ``Jinv``: [E, q, d, d] -> [E, q, n, d].
     """
-    return jnp.einsum("qnk,eqki->eqni", dphi, Jinv)
+    return _einsum("qnk,eqki->eqni", dphi, Jinv)
 
 
 def _wdet(tab: Tabulation, detJ, dtype):
@@ -191,7 +198,7 @@ def _gradients_and_ugrad(X_geo, u_el, tab: Tabulation):
         G = None
     else:
         # G[e, q, d, s] = sum_n gp[e, q, n, d] u_el[e, n, s]
-        G = jnp.einsum("eqnd,ens->eqds", gp, u_el)
+        G = _einsum("eqnd,ens->eqds", gp, u_el)
     return gp, G, detJ
 
 
@@ -233,7 +240,7 @@ def compute_element_elliptic_energy(X_geo, u_el, op, params, tab: Tabulation):
     _, G, detJ = _gradients_and_ugrad(X_geo, u_el, tab)
     psi = _vmap2(lambda Gp, p: op.energy(Gp, p), params)(G, params)  # [E, q]
     wdet = _wdet(tab, detJ, X_geo.dtype)
-    return jnp.einsum("eq,eq->e", wdet, psi)
+    return _einsum("eq,eq->e", wdet, psi)
 
 
 def assemble_element_elliptic_vectors(X_geo, u_el, op, params, tab: Tabulation):
@@ -245,7 +252,7 @@ def assemble_element_elliptic_vectors(X_geo, u_el, op, params, tab: Tabulation):
     gp, G, detJ = _gradients_and_ugrad(X_geo, u_el, tab)
     gvals = _vmap2(lambda Gp, p: op.g(Gp, p), params)(G, params)  # [E, q, d, s]
     wdet = _wdet(tab, detJ, X_geo.dtype)
-    f = jnp.einsum("eq,eqds,eqnd->ens", wdet, gvals, gp)
+    f = _einsum("eq,eqds,eqnd->ens", wdet, gvals, gp)
     E, n = f.shape[0], f.shape[1]
     return f.reshape(E, n * op.solution_dim)
 
@@ -265,7 +272,7 @@ def assemble_element_elliptic_matrices(X_geo, u_el, op, params, tab: Tabulation)
     D = _vmap2(lambda Gp, p: op.contraction(Gp, p), params)(G, params)
     # D: [E, q, d, s, d, s]
     wdet = _wdet(tab, detJ, X_geo.dtype)
-    A = jnp.einsum("eq,eqnk,eqkimj,eqpm->enipj", wdet, gp, D, gp)
+    A = _einsum("eq,eqnk,eqkimj,eqpm->enipj", wdet, gp, D, gp)
     E, n = A.shape[0], A.shape[1]
     A = A.reshape(E, n * s, n * s)
     if op.symmetric:
@@ -290,13 +297,13 @@ def assemble_element_mass_matrices(X_geo, density, solution_dim: int, tab: Tabul
         scale = wdet * rho
     else:
         scale = wdet * rho
-    Mn = jnp.einsum("eq,qn,qm->enm", scale, phi, phi)  # [E, n, n]
+    Mn = _einsum("eq,qn,qm->enm", scale, phi, phi)  # [E, n, n]
     if solution_dim == 1:
         return Mn
     s = solution_dim
     eye = jnp.eye(s, dtype=dtype)
     E, n = Mn.shape[0], Mn.shape[1]
-    return jnp.einsum("enm,ij->enimj", Mn, eye).reshape(E, n * s, n * s)
+    return _einsum("enm,ij->enimj", Mn, eye).reshape(E, n * s, n * s)
 
 
 def assemble_element_source_vectors(
@@ -315,10 +322,10 @@ def assemble_element_source_vectors(
     J = jacobians(X_geo, gdphi)
     _, detJ = inv_and_det(J)
     wdet = _wdet(tab, detJ, dtype)
-    x = jnp.einsum("qm,emd->eqd", gphi, X_geo)  # [E, q, d_space]
+    x = _einsum("qm,emd->eqd", gphi, X_geo)  # [E, q, d_space]
     fvals = _vmap2(lambda xp, p: jnp.atleast_1d(source(xp, p)), params)(x, params)
     # fvals: [E, q, s]
-    b = jnp.einsum("eq,eqs,qn->ens", wdet, fvals, phi)
+    b = _einsum("eq,eqs,qn->ens", wdet, fvals, phi)
     E, n = b.shape[0], b.shape[1]
     return b.reshape(E, n * solution_dim)
 
@@ -342,8 +349,8 @@ def assemble_element_surface_source_vectors(
     w = jnp.asarray(tab.weights, dtype=dtype)
     J = jacobians(X_geo, gdphi)
     wvol = w[None, :] * volume_form(J)
-    x = jnp.einsum("qm,emd->eqd", gphi, X_geo)
+    x = _einsum("qm,emd->eqd", gphi, X_geo)
     fvals = _vmap2(lambda xp, p: jnp.atleast_1d(source(xp, p)), params)(x, params)
-    b = jnp.einsum("eq,eqs,qn->ens", wvol, fvals, phi)
+    b = _einsum("eq,eqs,qn->ens", wvol, fvals, phi)
     E, n = b.shape[0], b.shape[1]
     return b.reshape(E, n * solution_dim)

@@ -20,7 +20,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["default_dtype", "default_int_dtype", "enable_x64"]
+__all__ = ["default_dtype", "default_int_dtype", "enable_x64", "MATMUL_PRECISION"]
+
+#: Precision for every FEM contraction (basis-gradient einsums, quadrature
+#: reductions, material tensor algebra).  XLA:TPU's *default* f32 matmul
+#: precision routes through bf16 MXU passes, which perturbs residuals by
+#: ~3e-3 relative — enough to destroy CG/Newton convergence (the recursive
+#: residual, the preconditioner symmetry, and the line search all rely on
+#: ~1e-6-coherent arithmetic; measured: a 96^3 f32 MG-CG "converged" to a
+#: reported 3.5e-6 while the true residual was 15.6).  HIGHEST = true f32
+#: accumulation on TPU; a no-op on CPU and in f64 mode.  The FEM
+#: contractions are tiny (n, q <= 27) and the pipeline is HBM-bound, so
+#: the throughput cost is small (measured ~11% on the structured hvp).
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def enable_x64(enabled: bool = True) -> None:

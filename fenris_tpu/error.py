@@ -11,6 +11,12 @@ from __future__ import annotations
 from typing import Callable
 
 import jax.numpy as jnp
+import functools
+
+from .config import MATMUL_PRECISION
+
+# f32 einsums must not route through bf16 MXU passes (see config.py)
+_einsum = functools.partial(jnp.einsum, precision=MATMUL_PRECISION)
 
 from .assembly.local import Tabulation
 from .integrate import integrate_over_elements
@@ -58,13 +64,13 @@ def _fields_at_quadrature(X_geo, u_el, tab: Tabulation, with_grad: bool):
     w = jnp.asarray(tab.weights, dtype=dtype)
     J = jacobians(X_geo, gdphi)
     vol = volume_form(J)
-    x = jnp.einsum("qm,emd->eqd", gphi, X_geo)
-    u = jnp.einsum("qn,ens->eqs", phi, u_el)
+    x = _einsum("qm,emd->eqd", gphi, X_geo)
+    u = _einsum("qn,ens->eqs", phi, u_el)
     G = None
     if with_grad:
         Jinv, _ = inv_and_det(J)
         gp = physical_gradients(dphi, Jinv)
-        G = jnp.einsum("eqnd,ens->eqds", gp, u_el)
+        G = _einsum("eqnd,ens->eqds", gp, u_el)
     return x, u, G, w[None, :] * vol
 
 

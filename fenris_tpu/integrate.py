@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +25,11 @@ import numpy as np
 from .assembly.local import Tabulation, inv_and_det, jacobians, physical_gradients
 
 __all__ = ["volume_form", "integrate_over_elements", "integrate"]
+
+from .config import MATMUL_PRECISION
+
+# f32 einsums must not route through bf16 MXU passes (see config.py)
+_einsum = functools.partial(jnp.einsum, precision=MATMUL_PRECISION)
 
 
 def volume_form(J):
@@ -35,7 +42,7 @@ def volume_form(J):
     if di == dj:
         _, det = inv_and_det(J)
         return jnp.abs(det)
-    JtJ = jnp.einsum("...ki,...kj->...ij", J, J)
+    JtJ = _einsum("...ki,...kj->...ij", J, J)
     _, det = inv_and_det(JtJ)
     return jnp.sqrt(det)
 
@@ -67,15 +74,15 @@ def integrate_over_elements(
 
     J = jacobians(X_geo, gdphi)
     vol = volume_form(J)  # [E, q]
-    x = jnp.einsum("qm,emd->eqd", gphi, X_geo)
+    x = _einsum("qm,emd->eqd", gphi, X_geo)
 
     u = G = None
     if u_el is not None:
-        u = jnp.einsum("qn,ens->eqs", phi, u_el)
+        u = _einsum("qn,ens->eqs", phi, u_el)
         if needs_gradient:
             Jinv, _ = inv_and_det(J)
             gp = physical_gradients(dphi, Jinv)
-            G = jnp.einsum("eqnd,ens->eqds", gp, u_el)
+            G = _einsum("eqnd,ens->eqds", gp, u_el)
 
     def fp(xq, uq, Gq):
         return f(xq, uq, Gq)

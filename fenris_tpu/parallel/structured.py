@@ -17,6 +17,8 @@ which this layout is designed to accommodate.
 from __future__ import annotations
 
 from dataclasses import dataclass
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +30,11 @@ from ..sparse.cg import conjugate_gradient
 from ..structured import _OFFSETS, StructuredHyperelasticModel
 
 __all__ = ["StructuredShardedElasticity"]
+
+from ..config import MATMUL_PRECISION
+
+# f32 einsums must not route through bf16 MXU passes (see config.py)
+_einsum = functools.partial(jnp.einsum, precision=MATMUL_PRECISION)
 
 
 @dataclass
@@ -76,14 +83,14 @@ class StructuredShardedElasticity:
             for (di, dj, dk) in _OFFSETS
         ]
         U = jnp.stack(views, axis=0)  # [n, s, slab, y, x]
-        G = jnp.einsum("qnd,nszyx->dsqzyx", m.gp, U)
+        G = _einsum("qnd,nszyx->dsqzyx", m.gp, U)
         q = G.shape[2]
         B = int(np.prod(G.shape[3:]))
         flat = G.reshape(3, 3, q * B)
         g = jax.vmap(lambda Gp: m.operator.g(Gp, m.params), in_axes=-1, out_axes=-1)(
             flat
         ).reshape((3, 3, q) + G.shape[3:])
-        f_el = jnp.einsum("q,qnd,dsqzyx->nszyx", m.wdet, m.gp, g)
+        f_el = _einsum("q,qnd,dsqzyx->nszyx", m.wdet, m.gp, g)
         zm = zmask_slab.reshape(-1)  # local [slab]
         f_el = f_el * zm[None, None, :, None, None]
         # local scatter into a (slab + 1)-plane node buffer

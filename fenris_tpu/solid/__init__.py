@@ -24,6 +24,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -41,6 +43,11 @@ __all__ = [
     "log_det_F",
     "deformation_gradient",
 ]
+
+from ..config import MATMUL_PRECISION
+
+# f32 einsums must not route through bf16 MXU passes (see config.py)
+_einsum = functools.partial(jnp.einsum, precision=MATMUL_PRECISION)
 
 
 class LameParameters(NamedTuple):
@@ -146,7 +153,7 @@ class HyperelasticMaterial:
         A = self.stress_contraction_tensor_du(
             jnp.swapaxes(F, -1, -2) - jnp.eye(d, dtype=F.dtype), params
         )
-        return jnp.einsum("k,ikjm,m->ij", a, A, b)
+        return _einsum("k,ikjm,m->ij", a, A, b)
 
 
 class LinearElasticMaterial(HyperelasticMaterial):
@@ -173,9 +180,9 @@ class LinearElasticMaterial(HyperelasticMaterial):
         # a_k A[i,k,j,m] b_m = μ(a·b)δ_ij + μ b_i a_j + λ a_i b_j:
         #   μ δ_km δ_ij + μ δ_im δ_jk + λ δ_ik δ_jm
         A = (
-            mu * jnp.einsum("km,ij->ikjm", delta, delta)
-            + mu * jnp.einsum("im,jk->ikjm", delta, delta)
-            + lam * jnp.einsum("ik,jm->ikjm", delta, delta)
+            mu * _einsum("km,ij->ikjm", delta, delta)
+            + mu * _einsum("im,jk->ikjm", delta, delta)
+            + lam * _einsum("ik,jm->ikjm", delta, delta)
         )
         return A
 
@@ -220,9 +227,9 @@ class NeoHookeanMaterial(HyperelasticMaterial):
         # C(a,b) = λ (F̂a)(F̂b)ᵀ - α (F̂b)(F̂a)ᵀ + μ(a·b)I, F̂ = F^{-T}
         # => A[i,k,j,m] = λ F̂_ik F̂_jm - α F̂_im F̂_jk + μ δ_km δ_ij
         return (
-            lam * jnp.einsum("ik,jm->ikjm", FinvT, FinvT)
-            - alpha * jnp.einsum("im,jk->ikjm", FinvT, FinvT)
-            + mu * jnp.einsum("km,ij->ikjm", delta, delta)
+            lam * _einsum("ik,jm->ikjm", FinvT, FinvT)
+            - alpha * _einsum("im,jk->ikjm", FinvT, FinvT)
+            + mu * _einsum("km,ij->ikjm", delta, delta)
         )
 
 
@@ -233,32 +240,32 @@ class StVKMaterial(HyperelasticMaterial):
         mu, lam = params.mu, params.lam
         F = deformation_gradient(u_grad)
         d = F.shape[-1]
-        E = 0.5 * (jnp.swapaxes(F, -1, -2) @ F - jnp.eye(d, dtype=F.dtype))
+        E = 0.5 * (_einsum("...ki,...kj->...ij", F, F) - jnp.eye(d, dtype=F.dtype))
         return mu * jnp.sum(E * E) + 0.5 * lam * jnp.trace(E) ** 2
 
     def stress_du(self, u_grad, params):
         mu, lam = params.mu, params.lam
         F = deformation_gradient(u_grad)
         d = F.shape[-1]
-        E = 0.5 * (jnp.swapaxes(F, -1, -2) @ F - jnp.eye(d, dtype=F.dtype))
-        return F @ (2.0 * mu * E + lam * jnp.trace(E) * jnp.eye(d, dtype=F.dtype))
+        E = 0.5 * (_einsum("...ki,...kj->...ij", F, F) - jnp.eye(d, dtype=F.dtype))
+        return _einsum("...ik,...kj->...ij", F, 2.0 * mu * E + lam * jnp.trace(E) * jnp.eye(d, dtype=F.dtype))
 
     def stress_contraction_tensor_du(self, u_grad, params):
         mu, lam = params.mu, params.lam
         d = u_grad.shape[-1]
         F = deformation_gradient(u_grad)
-        E = 0.5 * (jnp.swapaxes(F, -1, -2) @ F - jnp.eye(d, dtype=F.dtype))
+        E = 0.5 * (_einsum("...ki,...kj->...ij", F, F) - jnp.eye(d, dtype=F.dtype))
         delta = jnp.eye(d, dtype=u_grad.dtype)
-        FFt = F @ jnp.swapaxes(F, -1, -2)
+        FFt = _einsum("...ik,...jk->...ij", F, F)
         trE = jnp.trace(E)
         # C(a,b) = [2μ aᵀEb + λ trE (a·b)] I + μ (Fb)(Fa)ᵀ + λ (Fa)(Fb)ᵀ
         #          + μ (a·b) FFᵀ
         return (
-            2.0 * mu * jnp.einsum("km,ij->ikjm", E, delta)
-            + lam * trE * jnp.einsum("km,ij->ikjm", delta, delta)
-            + mu * jnp.einsum("im,jk->ikjm", F, F)
-            + lam * jnp.einsum("ik,jm->ikjm", F, F)
-            + mu * jnp.einsum("km,ij->ikjm", delta, FFt)
+            2.0 * mu * _einsum("km,ij->ikjm", E, delta)
+            + lam * trE * _einsum("km,ij->ikjm", delta, delta)
+            + mu * _einsum("im,jk->ikjm", F, F)
+            + lam * _einsum("ik,jm->ikjm", F, F)
+            + mu * _einsum("km,ij->ikjm", delta, FFt)
         )
 
 

@@ -24,6 +24,12 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import functools
+
+from .config import MATMUL_PRECISION
+
+# f32 einsums must not route through bf16 MXU passes (see config.py)
+_einsum = functools.partial(jnp.einsum, precision=MATMUL_PRECISION)
 import numpy as np
 
 from .mesh import Mesh
@@ -60,14 +66,14 @@ def map_physical_coordinates(
 
     def body(_, xi):
         phi, dphi = _geometry_phi_dphi(el, xi)  # [B, m], [B, m, d]
-        r = jnp.einsum("bm,bmd->bd", phi, X_geo) - x
-        J = jnp.einsum("bmi,bmd->bid", X_geo, dphi)  # J[i, j] = dT_i/dxi_j
+        r = _einsum("bm,bmd->bd", phi, X_geo) - x
+        J = _einsum("bmi,bmd->bid", X_geo, dphi)  # J[i, j] = dT_i/dxi_j
         # closed-form small-matrix inverse (jnp.linalg.solve lowers to a
         # looping LU on TPU — pathologically slow under batching)
         from .assembly.local import inv_and_det
 
         Jinv, _ = inv_and_det(J)
-        dxi = jnp.einsum("bij,bj->bi", Jinv, r)
+        dxi = _einsum("bij,bj->bi", Jinv, r)
         return xi - dxi
 
     xi0 = jnp.zeros(x.shape, dtype)
@@ -313,7 +319,7 @@ def _interpolate_located(mesh: Mesh, u, located: ClosestElementResult, s: int):
     phi = el.phi(located.reference_coords)  # [Q, n]
     nodes = cells[located.element_indices]  # [Q, n]
     u2 = jnp.asarray(u).reshape(-1, s)
-    return jnp.einsum("qn,qns->qs", phi, u2[nodes])
+    return _einsum("qn,qns->qs", phi, u2[nodes])
 
 
 def interpolate_gradient_at_points(
@@ -328,14 +334,14 @@ def interpolate_gradient_at_points(
     Xg = jnp.asarray(mesh.cell_points()[:, :m, :])[res.element_indices]
     dphi = el.dphi(res.reference_coords)  # [Q, n, d]
     gdphi = el.geometry.dphi(res.reference_coords)  # [Q, m, d]
-    J = jnp.einsum("qmi,qmd->qid", Xg, gdphi)
+    J = _einsum("qmi,qmd->qid", Xg, gdphi)
     from .assembly.local import inv_and_det
 
     Jinv, _ = inv_and_det(J)
-    gp = jnp.einsum("qnk,qki->qni", dphi, Jinv)
+    gp = _einsum("qnk,qki->qni", dphi, Jinv)
     u2 = jnp.asarray(u).reshape(-1, solution_dim)
     nodes = cells[res.element_indices]
-    return jnp.einsum("qni,qns->qis", gp, u2[nodes]), res
+    return _einsum("qni,qns->qis", gp, u2[nodes]), res
 
 
 @dataclass(frozen=True)
@@ -367,19 +373,19 @@ class FixedInterpolator:
             Xg = jnp.asarray(mesh.cell_points()[:, :m, :])[res.element_indices]
             dphi = el.dphi(res.reference_coords)
             gdphi = el.geometry.dphi(res.reference_coords)
-            J = jnp.einsum("qmi,qmd->qid", Xg, gdphi)
+            J = _einsum("qmi,qmd->qid", Xg, gdphi)
             from .assembly.local import inv_and_det as _iad
 
-            gp = jnp.einsum("qnk,qki->qni", dphi, _iad(J)[0])
+            gp = _einsum("qnk,qki->qni", dphi, _iad(J)[0])
             grad = gp
         return FixedInterpolator(nodes=cells[res.element_indices], phi=phi, grad_phi=grad)
 
     def interpolate(self, u, solution_dim: int = 1):
         u2 = jnp.asarray(u).reshape(-1, solution_dim)
-        return jnp.einsum("qn,qns->qs", self.phi, u2[self.nodes])
+        return _einsum("qn,qns->qs", self.phi, u2[self.nodes])
 
     def interpolate_gradient(self, u, solution_dim: int = 1):
         if self.grad_phi is None:
             raise ValueError("built without gradients")
         u2 = jnp.asarray(u).reshape(-1, solution_dim)
-        return jnp.einsum("qni,qns->qis", self.grad_phi, u2[self.nodes])
+        return _einsum("qni,qns->qis", self.grad_phi, u2[self.nodes])

@@ -30,6 +30,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,6 +46,11 @@ from .solid import HyperelasticMaterial, MaterialEllipticOperator
 from .sparse.cg import conjugate_gradient
 
 __all__ = ["StructuredHyperelasticModel"]
+
+from .config import MATMUL_PRECISION
+
+# f32 einsums must not route through bf16 MXU passes (see config.py)
+_einsum = functools.partial(jnp.einsum, precision=MATMUL_PRECISION)
 
 # local hex8 node -> (di, dj, dk) grid offsets, matching the reference hex
 # node ordering (mesh/procedural.py create_rectangular_uniform_hex_mesh)
@@ -165,7 +172,7 @@ class StructuredHyperelasticModel:
     def _u_grad(self, u):
         """G [d, s, q, zc, yc, xc] displacement gradients at all qps."""
         U = self._gather_elements(self._grid(u))  # [n, s, z, y, x]
-        return jnp.einsum("qnd,nszyx->dsqzyx", self.gp, U)
+        return _einsum("qnd,nszyx->dsqzyx", self.gp, U)
 
     def _pointwise(self, fn, G):
         """vmap a pointwise fn over the trailing (q, z, y, x) axes of G.
@@ -192,14 +199,14 @@ class StructuredHyperelasticModel:
             for (di, dj, dk) in _OFFSETS
         ]
         U = jnp.stack(views, axis=0)  # [n, s, slab, yc, xc]
-        G = jnp.einsum("qnd,nszyx->dsqzyx", self.gp, U)
+        G = _einsum("qnd,nszyx->dsqzyx", self.gp, U)
         q = G.shape[2]
         B = int(np.prod(G.shape[3:]))
         flat = G.reshape(3, 3, q * B)
         g = jax.vmap(
             lambda Gp: self.operator.g(Gp, self.params), in_axes=-1, out_axes=-1
         )(flat).reshape((3, 3, q) + G.shape[3:])
-        f_el = jnp.einsum("q,qnd,dsqzyx->nszyx", self.wdet, self.gp, g)
+        f_el = _einsum("q,qnd,dsqzyx->nszyx", self.wdet, self.gp, g)
         f_el = f_el * zmask[None, None, :, None, None]
         out = jnp.zeros((3, slab + 1) + self.node_shape[1:], f_el.dtype)
         for n, (di, dj, dk) in enumerate(_OFFSETS):
@@ -218,7 +225,7 @@ class StructuredHyperelasticModel:
                 lambda Gp: self.operator.g(Gp, self.params), G
             )  # [d, s, q*B]
             g = g_flat.reshape((3, 3, q) + G.shape[3:])
-            f_el = jnp.einsum("q,qnd,dsqzyx->nszyx", self.wdet, self.gp, g)
+            f_el = _einsum("q,qnd,dsqzyx->nszyx", self.wdet, self.gp, g)
             return self._ungrid(self._scatter_nodes(f_el))
 
         # chunked: lax.scan over z-slabs of cell planes
@@ -269,7 +276,7 @@ class StructuredHyperelasticModel:
             lambda Gp: self.operator.energy(Gp, self.params), in_axes=-1, out_axes=-1
         )(flat)
         psi = psi.reshape((q,) + G.shape[3:])
-        return jnp.einsum("q,qzyx->", self.wdet, psi) - jnp.vdot(self._f_ext, u)
+        return _einsum("q,qzyx->", self.wdet, psi) - jnp.vdot(self._f_ext, u)
 
     def _slab_diag_local(self, u_slab, zmask):
         """Hessian-diagonal contributions of a slab ([s, slab+1, y, x])."""
@@ -280,7 +287,7 @@ class StructuredHyperelasticModel:
             for (di, dj, dk) in _OFFSETS
         ]
         U = jnp.stack(views, axis=0)
-        G = jnp.einsum("qnd,nszyx->dsqzyx", self.gp, U)
+        G = _einsum("qnd,nszyx->dsqzyx", self.gp, U)
         q = G.shape[2]
         B = int(np.prod(G.shape[3:]))
         flat = G.reshape(3, 3, q * B)
@@ -289,7 +296,7 @@ class StructuredHyperelasticModel:
             in_axes=-1,
             out_axes=-1,
         )(flat).reshape((3, 3, 3, 3, q) + G.shape[3:])
-        d_el = jnp.einsum("q,qnk,kimiqzyx,qnm->nizyx", self.wdet, self.gp, D, self.gp)
+        d_el = _einsum("q,qnk,kimiqzyx,qnm->nizyx", self.wdet, self.gp, D, self.gp)
         d_el = d_el * zmask[None, None, :, None, None]
         out = jnp.zeros((3, slab + 1) + self.node_shape[1:], d_el.dtype)
         for n, (di, dj, dk) in enumerate(_OFFSETS):
@@ -311,7 +318,7 @@ class StructuredHyperelasticModel:
             )  # [k, i, m, j, q*B]
             D = D_flat.reshape((3, 3, 3, 3, q) + G.shape[3:])
             # d_el[n, i, ...] = sum_q w gp[q,n,k] D[k,i,m,i] gp[q,n,m]
-            d_el = jnp.einsum(
+            d_el = _einsum(
                 "q,qnk,kimiqzyx,qnm->nizyx", self.wdet, self.gp, D, self.gp
             )
             diag = self._ungrid(self._scatter_nodes(d_el))
@@ -392,6 +399,105 @@ class StructuredHyperelasticModel:
             tolerance=tolerance,
             max_iterations=max_newton_iterations,
             line_search=line_search,
+        )
+
+    def solve_mixed(
+        self,
+        u0=None,
+        tolerance: float = 1e-10,
+        max_newton_iterations: int = 30,
+        cg_rel_tolerance: float = 1e-4,
+        cg_max_iter: int = 1000,
+        preconditioner: str = "mg",
+    ) -> NewtonResult:
+        """Mixed-precision Newton-Krylov: f64 outer residual, f32 inner CG.
+
+        Finite-precision CG's attainable accuracy is ~eps*kappa; in f32 at
+        1M+ dofs that floor is ~1e-1 relative, so a pure-f32 Newton stalls
+        after ~1 digit.  This is the standard cure (and the FEM analogue of
+        f32-master-weight training): keep the iterate and the *residual
+        evaluation* in f64 (emulated on TPU — paid once per Newton
+        iteration), and run each inner Krylov solve in fast f32.  Newton
+        itself acts as iterative refinement, converging to f64 residual
+        accuracy while all per-CG-iteration work stays at f32 speed.
+
+        Regime: refinement contracts by ~kappa(H)*eps_f32 per outer
+        iteration, so it reaches f64 accuracy while that product is well
+        below 1 (measured on v5e: 32^3 -> 2.6e-11 rel in 3 iterations,
+        89 s; at 96^3 elasticity kappa*eps_f32 ~ 0.1 and the stall matches
+        the pure-f32 floor — tighter tolerances there need f64 inner
+        solves, i.e. ``dtype=jnp.float64`` throughout).
+
+        ``tolerance`` is relative to the initial residual norm.  Requires
+        ``jax_enable_x64``.
+        """
+        if not jax.config.jax_enable_x64:
+            raise ValueError("solve_mixed requires jax_enable_x64")
+        from dataclasses import replace
+
+        from .optimize import (
+            NEWTON_CONVERGED,
+            NEWTON_LINE_SEARCH_FAILED,
+            NEWTON_MAX_ITER,
+            backtracking_alphas,
+        )
+
+        model64 = replace(self, dtype=jnp.float64)
+        # hoist tabulation/mask constants out of the jitted closure (see
+        # CLAUDE.md: closure-constant slow path)
+        u_probe = jnp.zeros(self.num_dofs, jnp.float64)
+        res64_fn, res64_consts = jax.closure_convert(model64.residual, u_probe)
+        res64 = jax.jit(lambda consts, u: res64_fn(u, *consts))
+
+        mg = None
+        if preconditioner == "mg":
+            from .multigrid import StructuredMGPreconditioner
+
+            mg = StructuredMGPreconditioner(self)
+
+        u = u_probe if u0 is None else jnp.asarray(u0, jnp.float64)
+        f = res64(res64_consts, u)
+        nf0 = float(jnp.linalg.norm(f))
+        nf = nf0
+        alphas = [float(a) for a in backtracking_alphas()]
+        status, k = NEWTON_MAX_ITER, 0
+        if nf0 == 0.0:
+            status = NEWTON_CONVERGED
+        for k in range(1, max_newton_iterations + 1):
+            u32 = u.astype(jnp.float32)
+            if mg is not None:
+                prec = mg
+            else:
+                inv_diag = 1.0 / self.hessian_diagonal(u32)
+                prec = lambda v: inv_diag * v
+            d = conjugate_gradient(
+                lambda v: self.hessian_vector_product(u32, v),
+                jnp.asarray(f, jnp.float32),
+                preconditioner=prec,
+                rel_tolerance=cg_rel_tolerance,
+                max_iter=cg_max_iter,
+                check_definiteness=False,
+            ).x.astype(jnp.float64)
+            # Armijo backtracking on the f64 residual norm
+            accepted = False
+            for alpha in alphas:
+                u_try = u - alpha * d
+                f_try = res64(res64_consts, u_try)
+                nf_try = float(jnp.linalg.norm(f_try))
+                if nf_try**2 <= (1.0 - 1e-4 * alpha) * nf**2:
+                    u, f, nf, accepted = u_try, f_try, nf_try, True
+                    break
+            if not accepted:
+                status = NEWTON_LINE_SEARCH_FAILED
+                break
+            if nf <= tolerance * nf0:
+                status = NEWTON_CONVERGED
+                break
+        return NewtonResult(
+            x=u,
+            iterations=jnp.asarray(k, jnp.int32),
+            status=jnp.asarray(status, jnp.int32),
+            residual_norm=jnp.asarray(nf),
         )
 
     # -- interop ---------------------------------------------------------------

@@ -133,3 +133,31 @@ def test_chunked_sweeps_match_single(rng):
         ).max()
         < 1e-11
     )
+
+
+def test_solve_mixed_precision_reaches_f64_accuracy():
+    """f64-outer/f32-inner Newton converges far past the f32 floor."""
+    cells = (4, 4, 6)
+    ncx, ncy, ncz = cells
+    nodes = (ncz + 1) * (ncy + 1) * (ncx + 1)
+    mask = np.zeros(nodes * 3, dtype=bool)
+    mask[: (ncy + 1) * (ncx + 1) * 3] = True
+    kwargs = dict(
+        cells=cells,
+        spacing=0.25,
+        material=NeoHookeanMaterial(),
+        params=PARAMS,
+        dirichlet_mask=mask,
+        body_force=np.array([0.0, 0.0, -5.0]),
+    )
+    m32 = StructuredHyperelasticModel(dtype=jnp.float32, **kwargs)
+    m64 = StructuredHyperelasticModel(dtype=jnp.float64, **kwargs)
+    res = m32.solve_mixed(tolerance=1e-11, preconditioner="jacobi")
+    assert int(res.status) == NEWTON_CONVERGED
+    assert res.x.dtype == jnp.float64
+    f0 = float(jnp.linalg.norm(m64.residual(jnp.zeros(m64.num_dofs))))
+    rel = float(jnp.linalg.norm(m64.residual(res.x))) / f0
+    assert rel < 1e-10  # far below the ~1e-6 pure-f32 floor
+    # agrees with the all-f64 solve
+    ref = m64.solve(tolerance=1e-12 * f0, cg_rel_tolerance=1e-10)
+    assert np.abs(np.asarray(ref.x) - np.asarray(res.x)).max() < 1e-8
