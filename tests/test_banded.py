@@ -1,0 +1,134 @@
+"""Banded MXU gather/scatter: plan construction, exactness, autodiff.
+
+The TPU Pallas kernels are exercised on real hardware via the bench/examples;
+here the XLA fallback validates the plan logic and the linear_call wiring
+(the kernel itself is validated bit-exactly against this fallback on TPU).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+from fenris_tpu.ops.banded import BandedPlan, gather, make_banded_plan, scatter_add
+
+
+def _synthetic_plan(res=12, s=3, r_nodes=1024, rowt=256):
+    mesh = create_unit_box_uniform_hex_mesh_3d(res)
+    cells = np.asarray(mesh.cells)
+    plan = make_banded_plan(cells, mesh.num_vertices, s=s, r_nodes=r_nodes, rowt=rowt)
+    return mesh, cells, plan
+
+
+def test_plan_row_layout_consistency():
+    mesh, cells, plan = _synthetic_plan()
+    # every valid row's (a, b) recombines to the global node minus window start
+    a = np.asarray(plan.a_loc).reshape(plan.k_blocks, plan.rows)
+    b = np.asarray(plan.b_loc).reshape(plan.k_blocks, plan.rows)
+    nodes = np.asarray(plan.nodes_padded).reshape(plan.k_blocks, plan.rows)
+    valid = np.asarray(plan.valid_rows).reshape(plan.k_blocks, plan.rows) > 0
+    for k in range(plan.k_blocks):
+        vr = valid[k]
+        loc = a[k, vr] * 128 + b[k, vr]
+        assert np.array_equal(loc, nodes[k, vr] - k * plan.ra * 128)
+        assert loc.max(initial=0) < plan.wa * 128
+    # row blocks of n consecutive rows map to single elements in perm order
+    counts = plan.counts
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for k in range(plan.k_blocks):
+        c = int(counts[k])
+        seg = nodes[k, : c * plan.n].reshape(c, plan.n)
+        assert np.array_equal(seg, cells[plan.perm[starts[k] : starts[k] + c]])
+
+
+def test_gather_matches_direct_indexing():
+    mesh, cells, plan = _synthetic_plan()
+    rng = np.random.default_rng(3)
+    u = rng.standard_normal((mesh.num_vertices, 3))
+    out = np.asarray(gather(plan, jnp.asarray(u)))
+    valid = np.asarray(plan.valid_rows).reshape(-1) > 0
+    ref = u[cells[plan.perm].reshape(-1)]
+    assert np.array_equal(out.reshape(-1, 3)[valid], ref)
+    assert np.all(out.reshape(-1, 3)[~valid] == 0.0)
+
+
+def test_scatter_matches_segment_sum():
+    mesh, cells, plan = _synthetic_plan()
+    rng = np.random.default_rng(4)
+    f_el = rng.standard_normal((plan.padded_elements, plan.n, 3))
+    out = np.asarray(scatter_add(plan, jnp.asarray(f_el)))
+    valid = np.asarray(plan.valid_rows).reshape(-1) > 0
+    ref = np.zeros((mesh.num_vertices, 3))
+    np.add.at(
+        ref,
+        np.asarray(plan.nodes_padded).reshape(-1)[valid],
+        f_el.reshape(-1, 3)[valid],
+    )
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-12)
+
+
+def test_gather_scatter_are_transposes():
+    """<gather(u), f> == <u, scatter(f)> exactly (linear_call contract)."""
+    mesh, cells, plan = _synthetic_plan(res=6, r_nodes=1024, rowt=256)
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.standard_normal((mesh.num_vertices, 3)))
+    f = jnp.asarray(rng.standard_normal((plan.padded_elements, plan.n, 3)))
+    lhs = jnp.vdot(gather(plan, u), f)
+    rhs = jnp.vdot(u, scatter_add(plan, f))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-13)
+
+
+def test_autodiff_through_gather_and_scatter():
+    mesh, cells, plan = _synthetic_plan(res=6, r_nodes=1024, rowt=256)
+    rng = np.random.default_rng(6)
+    u = jnp.asarray(rng.standard_normal((mesh.num_vertices, 3)))
+    w = jnp.asarray(rng.standard_normal((plan.padded_elements, plan.n, 3)))
+
+    # grad of <gather(u), w> is scatter(w)
+    g = jax.grad(lambda x: jnp.vdot(gather(plan, x), w))(u)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(scatter_add(plan, w)), rtol=0, atol=1e-13
+    )
+    # jvp of the linear map is the map itself
+    _, jv = jax.jvp(lambda x: gather(plan, x), (u,), (u,))
+    np.testing.assert_allclose(np.asarray(jv), np.asarray(gather(plan, u)))
+    # grad through scatter is gather
+    gs = jax.grad(lambda x: jnp.vdot(scatter_add(plan, x), u))(w)
+    np.testing.assert_allclose(
+        np.asarray(gs), np.asarray(gather(plan, u)), rtol=0, atol=1e-13
+    )
+
+
+def test_jit_and_scalar_component():
+    mesh, cells, plan = _synthetic_plan(res=6, s=1, r_nodes=1024, rowt=256)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal((mesh.num_vertices, 1)))
+    out = jax.jit(lambda x: gather(plan, x))(u)
+    valid = np.asarray(plan.valid_rows).reshape(-1) > 0
+    ref = np.asarray(u)[np.asarray(cells)[plan.perm].reshape(-1)]
+    assert np.array_equal(np.asarray(out).reshape(-1, 1)[valid], ref)
+
+
+def test_bandwidth_guard():
+    # an element connecting node 0 to a far node forces a huge window
+    cells = np.array([[0, 1, 2, 3, 4, 5, 6, 500000]], np.int64)
+    with pytest.raises(ValueError, match="bandwidth"):
+        make_banded_plan(cells, 500001, s=1, max_wa=64)
+
+
+def test_pad_elements_and_valid_mask():
+    mesh, cells, plan = _synthetic_plan(res=6, r_nodes=1024, rowt=256)
+    arr = np.arange(mesh.num_cells, dtype=np.float64)[:, None] * np.ones(4)
+    padded = plan.pad_elements(arr)
+    assert padded.shape == (plan.padded_elements, 4)
+    v = plan.valid_elements()
+    starts = np.concatenate([[0], np.cumsum(plan.counts)])
+    bp = plan.elements_per_block
+    for k in range(plan.k_blocks):
+        c = int(plan.counts[k])
+        np.testing.assert_array_equal(
+            padded[k * bp : k * bp + c, 0], plan.perm[starts[k] : starts[k] + c]
+        )
+        assert v[k * bp : k * bp + c].all()
+        assert not v[k * bp + c : (k + 1) * bp].any()
