@@ -66,6 +66,13 @@ class HyperelasticModel:
     #: sweeps (None = single fused sweep, best for small meshes).  Large
     #: meshes are processed as a lax.scan over chunks.
     chunk_size: Optional[int] = None
+    #: use the banded MXU gather/scatter kernels (:mod:`..ops.banded`)
+    #: instead of XLA gather/segment_sum — the fast path for large
+    #: unstructured meshes on TPU.  Requires a bandwidth-reduced (RCM)
+    #: node ordering for a narrow window.
+    banded: bool = False
+    #: owned node range per banded block (multiple of 1024)
+    banded_r_nodes: int = 4096
 
     def __post_init__(self):
         from .quadrature.canonical import canonical_stiffness
@@ -90,7 +97,86 @@ class HyperelasticModel:
             for i in range(d):
                 mask[nd * d + i] = False
         self.free_mask = jnp.asarray(mask)
+        self._plan = None
+        if self.banded:
+            self._setup_banded()
         self._f_ext = self._assemble_external_forces()
+
+    # -- banded fast path ---------------------------------------------------------
+
+    def _setup_banded(self):
+        from .ops import banded as B
+
+        d = self.mesh.dim
+        r = min(
+            self.banded_r_nodes,
+            max(1024, -(-self.mesh.num_vertices // 1024) * 1024),
+        )
+        self._plan = B.make_banded_plan(
+            np.asarray(self.mesh.cells), self.mesh.num_vertices, s=d, r_nodes=r
+        )
+        plan = self._plan
+        dt = self.space.X_geo.dtype
+        self._Xg_band = jnp.asarray(
+            plan.pad_elements(np.asarray(self.space.X_geo)), dtype=dt
+        )
+        self._valid_el = jnp.asarray(plan.valid_elements(), dtype=dt)
+        E = self.mesh.num_cells
+
+        def pad_leaf(x):
+            x = np.asarray(x)
+            if x.ndim >= 1 and x.shape[0] == E:
+                return jnp.asarray(plan.pad_elements(x))
+            return x
+
+        self._params_band = jax.tree_util.tree_map(pad_leaf, self.params)
+        # chunking: group whole banded blocks so lax.scan slices stay aligned
+        bp = plan.elements_per_block
+        if self.chunk_size is not None:
+            g = max(1, self.chunk_size // bp)
+        else:
+            g = plan.k_blocks
+        self._band_g = min(g, plan.k_blocks)
+        self._band_c = -(-plan.k_blocks // self._band_g)
+
+    def _banded_sweep(self, u_el, assemble, out_cols):
+        """Chunked element sweep over the padded banded layout.
+
+        ``assemble(Xc, uc, params) -> [c, out_cols]``; returns
+        ``[padded_elements, out_cols]`` with padding rows zeroed.
+        """
+        plan = self._plan
+        pe = plan.padded_elements
+        bp = plan.elements_per_block
+        csize = self._band_g * bp
+        C = self._band_c
+        Xg, valid, params = self._Xg_band, self._valid_el, self._params_band
+        if C == 1:
+            out = assemble(Xg, u_el, params)
+            return out * valid[:, None]
+        pad = C * csize - pe
+
+        def pad_chunk(x):
+            if pad:
+                x = jnp.concatenate([x, jnp.repeat(x[:1], pad, axis=0)])
+            return x.reshape(C, csize, *x.shape[1:])
+
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        flags = [hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == pe for x in leaves]
+        per_el = [pad_chunk(jnp.asarray(x)) for x, f in zip(leaves, flags) if f]
+
+        def body(_, xs):
+            Xc, vc, uc, *pls = xs
+            it = iter(pls)
+            merged = [next(it) if f else x for x, f in zip(leaves, flags)]
+            p = jax.tree_util.tree_unflatten(treedef, merged)
+            f = assemble(Xc, uc, p)
+            return None, f * vc[:, None]
+
+        _, f = jax.lax.scan(
+            body, None, (pad_chunk(Xg), pad_chunk(valid), pad_chunk(u_el), *per_el)
+        )
+        return f.reshape(C * csize, out_cols)[:pe]
 
     # -- assembly ---------------------------------------------------------------
 
@@ -124,6 +210,19 @@ class HyperelasticModel:
         """Internal-force element sweep, optionally chunked over elements."""
         n = self.mesh.element.num_nodes
         s = self.mesh.dim
+        if self._plan is not None:
+            from .ops import banded as B
+
+            u_el = B.gather(self._plan, u.reshape(-1, s))
+            f_el = self._banded_sweep(
+                u_el,
+                lambda Xc, uc, pc: L.assemble_element_elliptic_vectors(
+                    Xc, uc, self.operator, pc, self.tab
+                ),
+                n * s,
+            )
+            pe = self._plan.padded_elements
+            return B.scatter_add(self._plan, f_el.reshape(pe, n, s)).reshape(-1)
         if self.chunk_size is None:
             f_el = L.assemble_element_elliptic_vectors(
                 self.space.X_geo, self._local(u), self.operator, self.params, self.tab
@@ -154,6 +253,16 @@ class HyperelasticModel:
     def _assemble_external_forces(self):
         if self.body_force is None:
             return jnp.zeros(self.space.num_dofs, dtype=self.space.X_geo.dtype)
+        if self._plan is not None:
+            from .ops import banded as B
+
+            n, s = self.mesh.element.num_nodes, self.mesh.dim
+            pe = self._plan.padded_elements
+            b_el = L.assemble_element_source_vectors(
+                self._Xg_band, self.body_force, None, s, self.tab
+            )
+            b_el = b_el * self._valid_el[:, None]
+            return B.scatter_add(self._plan, b_el.reshape(pe, n, s)).reshape(-1)
         b_el = L.assemble_element_source_vectors(
             self.space.X_geo, self.body_force, None, self.mesh.dim, self.tab
         )
@@ -161,6 +270,18 @@ class HyperelasticModel:
 
     def energy(self, u):
         """Total potential energy E(u) = ∫ψ(∇u) - f_ext·u."""
+        if self._plan is not None:
+            from .ops import banded as B
+
+            u_el = B.gather(self._plan, u.reshape(-1, self.mesh.dim))
+            e_el = self._banded_sweep(
+                u_el,
+                lambda Xc, uc, pc: L.compute_element_elliptic_energy(
+                    Xc, uc, self.operator, pc, self.tab
+                )[:, None],
+                1,
+            )
+            return jnp.sum(e_el) - jnp.vdot(self._f_ext, u)
         e = jnp.sum(
             L.compute_element_elliptic_energy(
                 self.space.X_geo, self._local(u), self.operator, self.params, self.tab
@@ -192,6 +313,24 @@ class HyperelasticModel:
         """Assembled Hessian diagonal (Jacobi preconditioner), masked."""
         n = self.mesh.element.num_nodes
         s = self.mesh.dim
+        if self._plan is not None:
+            from .ops import banded as B
+
+            u_el = B.gather(self._plan, u.reshape(-1, s))
+            d_el = self._banded_sweep(
+                u_el,
+                lambda Xc, uc, pc: jnp.diagonal(
+                    L.assemble_element_elliptic_matrices(
+                        Xc, uc, self.operator, pc, self.tab
+                    ),
+                    axis1=1,
+                    axis2=2,
+                ),
+                n * s,
+            )
+            pe = self._plan.padded_elements
+            diag = B.scatter_add(self._plan, d_el.reshape(pe, n, s)).reshape(-1)
+            return jnp.where(self.free_mask & (diag != 0.0), diag, 1.0)
         if self.chunk_size is None:
             A_el = self.assemble_hessian_matrices(u)
             diag_el = jnp.diagonal(A_el, axis1=1, axis2=2)

@@ -132,3 +132,44 @@ def test_pad_elements_and_valid_mask():
         )
         assert v[k * bp : k * bp + c].all()
         assert not v[k * bp + c : (k + 1) * bp].any()
+
+
+def test_hyperelastic_model_banded_agreement():
+    """banded=True must reproduce the default path exactly (f64, CPU)."""
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+
+    mesh = create_unit_box_uniform_hex_mesh_3d(8)
+    kw = dict(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.0, lam=577.0),
+        dirichlet_nodes=np.arange(81),
+        body_force=lambda x, p: jnp.array([0.0, 0.0, -2.0]),
+    )
+    m0 = HyperelasticModel(**kw)
+    # chunk_size tiny to force the chunked lax.scan sweep (C > 1)
+    m1 = HyperelasticModel(**kw, banded=True, banded_r_nodes=1024, chunk_size=64)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(m0.space.num_dofs) * 0.01)
+    v = jnp.asarray(rng.standard_normal(m0.space.num_dofs))
+    np.testing.assert_allclose(
+        float(m0.energy(u)), float(m1.energy(u)), rtol=1e-13
+    )
+    np.testing.assert_allclose(
+        np.asarray(m0.residual(u)), np.asarray(m1.residual(u)), rtol=0, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(m0.hessian_vector_product(u, v)),
+        np.asarray(m1.hessian_vector_product(u, v)),
+        rtol=0,
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m0.hessian_diagonal(u)),
+        np.asarray(m1.hessian_diagonal(u)),
+        rtol=1e-12,
+    )
+    # end-to-end Newton solve through the banded kernels
+    r = m1.solve(tolerance=1e-9, max_newton_iterations=10)
+    assert float(r.residual_norm) < 1e-9
