@@ -211,14 +211,22 @@ class HyperelasticModel:
         n = self.mesh.element.num_nodes
         s = self.mesh.dim
         if self._plan is not None:
+            from .assembly import local_em as LE
             from .ops import banded as B
 
             u_el = B.gather(self._plan, u.reshape(-1, s))
             f_el = self._banded_sweep(
                 u_el,
-                lambda Xc, uc, pc: L.assemble_element_elliptic_vectors(
-                    Xc, uc, self.operator, pc, self.tab
-                ),
+                lambda Xc, uc, pc: jnp.transpose(
+                    LE.assemble_element_elliptic_vectors_em(
+                        jnp.transpose(Xc, (1, 2, 0)),
+                        jnp.transpose(uc, (1, 2, 0)),
+                        self.operator,
+                        pc,
+                        self.tab,
+                    ),
+                    (2, 0, 1),
+                ).reshape(uc.shape[0], n * s),
                 n * s,
             )
             pe = self._plan.padded_elements
@@ -271,13 +279,18 @@ class HyperelasticModel:
     def energy(self, u):
         """Total potential energy E(u) = ∫ψ(∇u) - f_ext·u."""
         if self._plan is not None:
+            from .assembly import local_em as LE
             from .ops import banded as B
 
             u_el = B.gather(self._plan, u.reshape(-1, self.mesh.dim))
             e_el = self._banded_sweep(
                 u_el,
-                lambda Xc, uc, pc: L.compute_element_elliptic_energy(
-                    Xc, uc, self.operator, pc, self.tab
+                lambda Xc, uc, pc: LE.compute_element_elliptic_energy_em(
+                    jnp.transpose(Xc, (1, 2, 0)),
+                    jnp.transpose(uc, (1, 2, 0)),
+                    self.operator,
+                    pc,
+                    self.tab,
                 )[:, None],
                 1,
             )
@@ -314,18 +327,22 @@ class HyperelasticModel:
         n = self.mesh.element.num_nodes
         s = self.mesh.dim
         if self._plan is not None:
+            from .assembly import local_em as LE
             from .ops import banded as B
 
             u_el = B.gather(self._plan, u.reshape(-1, s))
             d_el = self._banded_sweep(
                 u_el,
-                lambda Xc, uc, pc: jnp.diagonal(
-                    L.assemble_element_elliptic_matrices(
-                        Xc, uc, self.operator, pc, self.tab
+                lambda Xc, uc, pc: jnp.transpose(
+                    LE.elliptic_matrix_diagonal_em(
+                        jnp.transpose(Xc, (1, 2, 0)),
+                        jnp.transpose(uc, (1, 2, 0)),
+                        self.operator,
+                        pc,
+                        self.tab,
                     ),
-                    axis1=1,
-                    axis2=2,
-                ),
+                    (2, 0, 1),
+                ).reshape(uc.shape[0], n * s),
                 n * s,
             )
             pe = self._plan.padded_elements

@@ -30,8 +30,10 @@ __all__ = ["FemSpace", "assemble_poisson_system", "solve_poisson", "PoissonResul
 class FemSpace:
     """Device-resident assembly view of a mesh.
 
-    Precomputes the gathered geometry/full node coordinate blocks and the
-    dof-level CSR pattern (host-side symbolic assembly).
+    Precomputes the gathered geometry/full node coordinate blocks; the
+    dof-level CSR pattern (host-side symbolic assembly, the expensive part
+    of setup at ~1M+ elements) is built lazily on first access — fully
+    matrix-free pipelines never pay for it.
     """
 
     mesh: Mesh
@@ -39,7 +41,7 @@ class FemSpace:
     X_geo: jnp.ndarray  # [E, m, d]
     X_full: jnp.ndarray  # [E, n, d]
     dofs: jnp.ndarray  # [E, n*s]
-    pattern: G.CsrPattern
+    _pattern: Optional[G.CsrPattern] = None
 
     @staticmethod
     def create(mesh: Mesh, solution_dim: int = 1, dtype=None) -> "FemSpace":
@@ -52,12 +54,22 @@ class FemSpace:
             X_geo=Xf[:, :m, :],
             X_full=Xf,
             dofs=jnp.asarray(G.element_dof_indices(mesh.cells, solution_dim)),
-            pattern=G.csr_pattern(mesh.cells, mesh.num_vertices, solution_dim),
         )
 
     @property
+    def pattern(self) -> G.CsrPattern:
+        """Dof-level CSR pattern (symbolic assembly); built on first use."""
+        if self._pattern is None:
+            object.__setattr__(
+                self,
+                "_pattern",
+                G.csr_pattern(self.mesh.cells, self.mesh.num_vertices, self.solution_dim),
+            )
+        return self._pattern
+
+    @property
     def num_dofs(self) -> int:
-        return self.pattern.num_rows
+        return self.mesh.num_vertices * self.solution_dim
 
     def local_dofs(self, u) -> jnp.ndarray:
         """Gather per-element local dofs [E, n, s] from a global vector."""
