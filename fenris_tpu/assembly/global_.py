@@ -74,6 +74,70 @@ class CsrPattern:
         return len(self.col_indices)
 
 
+def _expand_pattern(pn: CsrPattern, cells: np.ndarray, s: int) -> CsrPattern:
+    """Expand a node-level CSR pattern into the s x s block dof pattern.
+
+    Row/column dof ordering is node-major (dof = s*node + component), and
+    columns stay sorted within rows, so the result is bit-identical to a
+    direct dof-level symbolic assembly.
+    """
+    rpn = pn.row_ptr.astype(np.int64)
+    cn = np.diff(rpn)
+    N = pn.num_rows
+    lens = np.repeat(cn * s, s)  # entries per dof row
+    row_ptr = np.concatenate([[0], np.cumsum(lens)])
+
+    # column indices: dof row (i, c) holds the node row's columns expanded
+    # with all s components, independent of c
+    cb = (pn.col_indices.astype(np.int64)[:, None] * s + np.arange(s)).reshape(-1)
+    cb = cb.astype(np.int32)
+    starts = np.repeat(rpn[:-1] * s, s)
+    out_off = row_ptr[:-1]
+    total = int(row_ptr[-1])
+    J = np.arange(total, dtype=np.int64)
+    J -= np.repeat(out_off, lens)
+    J += np.repeat(starts, lens)
+    col_indices = cb[J]
+    del cb, J
+    rows_of_nnz = np.repeat(np.arange(N * s, dtype=np.int32), lens)
+
+    # scatter positions: node entry at position p in row i expands to
+    # pos(c, cc) = s^2*rpn[i] + c*s*cn[i] + (p - rpn[i])*s + cc
+    rpn_i = rpn[cells]  # [E, n]
+    cn_i = cn[cells]
+    A = pn.scatter_indices.astype(np.int64)  # [E, n, n]
+    core = s * A + (s * (s - 1)) * rpn_i[:, :, None]  # [E, n, n]
+    c_idx = np.arange(s, dtype=np.int64)
+    out = (
+        core[:, :, None, :, None]
+        + (s * cn_i)[:, :, None, None, None] * c_idx[None, None, :, None, None]
+        + c_idx[None, None, None, None, :]
+    )
+    E, n = cells.shape
+    scatter = out.astype(np.int32).reshape(E, n * s, n * s)
+    del core, out, A
+
+    off_n = pn.diag_positions - rpn[:N]
+    diag = (
+        (s * s) * rpn[:N, None]
+        + (s * cn[:, None]) * c_idx[None, :]
+        + off_n[:, None] * s
+        + c_idx[None, :]
+    )
+    diag = np.where((pn.diag_positions >= 0)[:, None], diag, -1).reshape(-1)
+
+    return CsrPattern(
+        num_rows=N * s,
+        num_cols=N * s,
+        row_ptr=row_ptr,
+        col_indices=col_indices,
+        scatter_indices=scatter,
+        rows_of_nnz=rows_of_nnz,
+        diag_positions=diag.astype(np.int64),
+        solution_dim=s,
+    )
+
+
 def element_dof_indices(cells: np.ndarray, solution_dim: int) -> np.ndarray:
     """Dof indices per element, node-major: dof = s * node + component.
 
@@ -93,8 +157,15 @@ def csr_pattern(cells: np.ndarray, num_nodes: int, solution_dim: int = 1) -> Csr
     assembly (global.rs:65,206).  Uses the native C++ radix-sort builder
     (:mod:`fenris_tpu.native`) when available, with a vectorized numpy
     fallback (one sort over E * (n s)^2 keys).
+
+    For ``solution_dim > 1`` the sort runs at node level (s^2 fewer keys)
+    and the dof pattern is produced by s x s block expansion — the
+    vectorized analogue of fenris-paradis's ``BlockAdapter``
+    (adapter.rs:47).
     """
     s = int(solution_dim)
+    if s > 1:
+        return _expand_pattern(csr_pattern(cells, num_nodes, 1), np.asarray(cells), s)
     from ..native import build_pattern_native
 
     native = build_pattern_native(np.asarray(cells), int(num_nodes), s)
