@@ -80,6 +80,37 @@ def main() -> None:
 
     dt_res = device_loop_time(res_step, u0, 10)
 
+    # secondary: unstructured banded-kernel path (ops/banded + local_em)
+    unstructured = None
+    try:
+        from fenris_tpu.elasticity import HyperelasticModel
+        from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+
+        umesh = create_unit_box_uniform_hex_mesh_3d(63)
+        umodel = HyperelasticModel(
+            mesh=umesh,
+            material=NeoHookeanMaterial(),
+            params=LameParameters(mu=384.614, lam=576.923),
+            body_force=lambda x, p: jnp.array([0.0, 0.0, -2.0]),
+            banded=True,
+        )
+        uu0 = jnp.zeros(umodel.space.num_dofs, jnp.float32)
+
+        def u_hvp_step(v):
+            return v + 1e-12 * umodel.hessian_vector_product(uu0, v)
+
+        dt_u = device_loop_time(
+            u_hvp_step, jnp.ones(umodel.space.num_dofs, jnp.float32), 4
+        )
+        unstructured = {
+            "elements": umodel.mesh.num_cells,
+            "hvp_ms": round(dt_u * 1e3, 3),
+            "elements_per_sec": round(umodel.mesh.num_cells / dt_u, 1),
+            "vs_gather_path": round(umodel.mesh.num_cells / dt_u / GATHER_PATH_ANCHOR_ELPS, 2),
+        }
+    except Exception as e:  # never let the secondary metric break the bench
+        unstructured = {"error": f"{type(e).__name__}: {e}"}
+
     elps = E / dt_hvp
     print(
         json.dumps(
@@ -94,6 +125,7 @@ def main() -> None:
                     "hvp_ms": round(dt_hvp * 1e3, 3),
                     "residual_ms": round(dt_res * 1e3, 3),
                     "residual_elements_per_sec": round(E / dt_res, 1),
+                    "unstructured_banded": unstructured,
                     "baseline": "unstructured per-element gather/scatter path (reference-design translation), 1.3M el/s on this chip",
                     "device": str(jax.devices()[0]),
                 },

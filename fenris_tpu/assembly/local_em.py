@@ -5,10 +5,12 @@ data layout.  The standard batched kernels put the element axis first
 (``[E, q, d, d]`` intermediates); XLA:TPU then pads the tiny trailing
 ``d``/``n`` axes to 128-lane tiles, wasting ~40x of both VPU lanes and HBM
 traffic.  This module instead keeps the **element axis minor** (``[..., E]``)
-and unrolls every small dimension (quadrature point, node, component) into
-Python loops over ``[E]``-shaped vectors, so every device op is full-lane
-elementwise VPU work — the unstructured analog of the grid-minor layout in
-:mod:`fenris_tpu.structured`.
+and unrolls the small node/component dimensions into Python loops over
+``[E]``-shaped vectors, so every device op is full-lane elementwise VPU
+work — the unstructured analog of the grid-minor layout in
+:mod:`fenris_tpu.structured`.  The quadrature loop is a ``lax.scan`` so the
+per-point body is traced and compiled once (q-fold smaller programs; the
+per-point basis tables ride in as scanned inputs).
 
 Operators/materials plug in unchanged: their pointwise ``g``/``energy``/
 ``contraction`` functions are ``vmap``-ed over the trailing element axis
@@ -81,23 +83,21 @@ def _inv_det(J, d):
 def _qp_geometry(X, gd_q, dphi_q, w_q, d, m, n):
     """Jacobian, physical basis gradients and weight at one quadrature point.
 
-    ``X``: list [m][d] of [E] vectors; ``gd_q``: [m, d] floats; ``dphi_q``:
-    [n, d] floats.  Returns (gp list [n][d] of [E] vectors, wdet [E]).
+    ``X``: list [m][d] of [E] vectors; ``gd_q``: [m, d] scalars (traced);
+    ``dphi_q``: [n, d]; ``w_q``: scalar.  Returns (gp list [n][d] of [E]
+    vectors, wdet [E]).
     """
     J = [
-        [sum(float(gd_q[mm, j]) * X[mm][i] for mm in range(m)) for j in range(d)]
+        [sum(gd_q[mm, j] * X[mm][i] for mm in range(m)) for j in range(d)]
         for i in range(d)
     ]
     Jinv, det = _inv_det(J, d)
     # gp[n][i] = sum_k dphi[n, k] * Jinv[k][i]   (J^{-T} grad)
     gp = [
-        [
-            sum(float(dphi_q[nn, k]) * Jinv[k][i] for k in range(d))
-            for i in range(d)
-        ]
+        [sum(dphi_q[nn, k] * Jinv[k][i] for k in range(d)) for i in range(d)]
         for nn in range(n)
     ]
-    wdet = float(w_q) * jnp.abs(det)
+    wdet = w_q * jnp.abs(det)
     return gp, wdet
 
 
@@ -117,6 +117,25 @@ def _shapes(X_em, tab: Tabulation, op):
     return m, d, tab.dphi.shape[1], op.solution_dim
 
 
+def _scan_qp(qp_fn, tab: Tabulation, init, dtype):
+    """Accumulate ``qp_fn(carry, gd_q, dphi_q, w_q)`` over quadrature points.
+
+    The per-point body is traced once (lax.scan); the basis tables enter as
+    scanned inputs so program size is independent of the rule length.
+    """
+    xs = (
+        jnp.asarray(tab.geo_dphi, dtype),
+        jnp.asarray(tab.dphi, dtype),
+        jnp.asarray(tab.weights, dtype),
+    )
+
+    def body(carry, x):
+        return qp_fn(carry, *x), None
+
+    out, _ = jax.lax.scan(body, init, xs)
+    return out
+
+
 def assemble_element_elliptic_vectors_em(X_em, u_em, op, params, tab: Tabulation):
     """Element vectors in element-minor layout: ``[n, s, E]``.
 
@@ -124,38 +143,45 @@ def assemble_element_elliptic_vectors_em(X_em, u_em, op, params, tab: Tabulation
     (elliptic.rs:457) reshaped; exactness is pinned by tests.
     """
     m, d, n, s = _shapes(X_em, tab, op)
+    E = X_em.shape[-1]
     X = [[X_em[mm, dd] for dd in range(d)] for mm in range(m)]
     p_ax = _params_axis(params)
     gfun = jax.vmap(lambda GG, p: op.g(GG, p), in_axes=(-1, p_ax), out_axes=-1)
-    out = [[None] * s for _ in range(n)]
-    for q in range(tab.num_points):
-        gp, wdet = _qp_geometry(
-            X, tab.geo_dphi[q], tab.dphi[q], tab.weights[q], d, m, n
-        )
+
+    def qp(carry, gd_q, dphi_q, w_q):
+        gp, wdet = _qp_geometry(X, gd_q, dphi_q, w_q, d, m, n)
         Gq = _u_grad(gp, u_em, n, d, s)
         gv = gfun(Gq, params)  # [d, s, E]
-        for nn in range(n):
-            for ss in range(s):
-                contrib = wdet * sum(gp[nn][dd] * gv[dd, ss] for dd in range(d))
-                out[nn][ss] = contrib if out[nn][ss] is None else out[nn][ss] + contrib
-    return jnp.stack([jnp.stack(row, 0) for row in out], 0)
+        contrib = jnp.stack(
+            [
+                jnp.stack(
+                    [sum(gp[nn][dd] * gv[dd, ss] for dd in range(d)) for ss in range(s)],
+                    0,
+                )
+                for nn in range(n)
+            ],
+            0,
+        )
+        return carry + wdet[None, None, :] * contrib
+
+    init = jnp.zeros((n, s, E), X_em.dtype)
+    return _scan_qp(qp, tab, init, X_em.dtype)
 
 
 def compute_element_elliptic_energy_em(X_em, u_em, op, params, tab: Tabulation):
     """Per-element energies ``[E]`` (elliptic.rs:551)."""
     m, d, n, s = _shapes(X_em, tab, op)
+    E = X_em.shape[-1]
     X = [[X_em[mm, dd] for dd in range(d)] for mm in range(m)]
     p_ax = _params_axis(params)
     efun = jax.vmap(lambda GG, p: op.energy(GG, p), in_axes=(-1, p_ax), out_axes=-1)
-    total = None
-    for q in range(tab.num_points):
-        gp, wdet = _qp_geometry(
-            X, tab.geo_dphi[q], tab.dphi[q], tab.weights[q], d, m, n
-        )
+
+    def qp(carry, gd_q, dphi_q, w_q):
+        gp, wdet = _qp_geometry(X, gd_q, dphi_q, w_q, d, m, n)
         Gq = _u_grad(gp, u_em, n, d, s)
-        e = wdet * efun(Gq, params)
-        total = e if total is None else total + e
-    return total
+        return carry + wdet * efun(Gq, params)
+
+    return _scan_qp(qp, tab, jnp.zeros((E,), X_em.dtype), X_em.dtype)
 
 
 def elliptic_matrix_diagonal_em(X_em, u_em, op, params, tab: Tabulation):
@@ -165,24 +191,35 @@ def elliptic_matrix_diagonal_em(X_em, u_em, op, params, tab: Tabulation):
     of the contraction tensor are contracted.
     """
     m, d, n, s = _shapes(X_em, tab, op)
+    E = X_em.shape[-1]
     X = [[X_em[mm, dd] for dd in range(d)] for mm in range(m)]
     p_ax = _params_axis(params)
     dfun = jax.vmap(
         lambda GG, p: op.contraction(GG, p), in_axes=(-1, p_ax), out_axes=-1
     )
-    out = [[None] * s for _ in range(n)]
-    for q in range(tab.num_points):
-        gp, wdet = _qp_geometry(
-            X, tab.geo_dphi[q], tab.dphi[q], tab.weights[q], d, m, n
-        )
+
+    def qp(carry, gd_q, dphi_q, w_q):
+        gp, wdet = _qp_geometry(X, gd_q, dphi_q, w_q, d, m, n)
         Gq = _u_grad(gp, u_em, n, d, s)
         D = dfun(Gq, params)  # [d, s, d, s, E]
-        for nn in range(n):
-            for i in range(s):
-                contrib = wdet * sum(
-                    gp[nn][k] * D[k, i, mm, i] * gp[nn][mm]
-                    for k in range(d)
-                    for mm in range(d)
+        contrib = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        sum(
+                            gp[nn][k] * D[k, i, mm, i] * gp[nn][mm]
+                            for k in range(d)
+                            for mm in range(d)
+                        )
+                        for i in range(s)
+                    ],
+                    0,
                 )
-                out[nn][i] = contrib if out[nn][i] is None else out[nn][i] + contrib
-    return jnp.stack([jnp.stack(row, 0) for row in out], 0)
+                for nn in range(n)
+            ],
+            0,
+        )
+        return carry + wdet[None, None, :] * contrib
+
+    init = jnp.zeros((n, s, E), X_em.dtype)
+    return _scan_qp(qp, tab, init, X_em.dtype)

@@ -316,6 +316,25 @@ class HyperelasticModel:
         _, hv = jax.jvp(self.internal_forces, (u,), (vm,))
         return jnp.where(self.free_mask, hv, v)
 
+    def hessian_operator(self, u):
+        """Linearized Hessian action ``v -> H(u) v`` for repeated use.
+
+        ``jax.linearize`` runs the primal element sweep once and stores its
+        linearization residuals, so every application inside a CG loop costs
+        only the linear tangent sweep (one gather + tangent math + one
+        scatter) instead of redoing the primal (~2x per iteration).  Trades
+        ~O(q) floats per element of memory for the residuals; prefer
+        :meth:`hessian_vector_product` beyond ~16M element-quadrature
+        points.
+        """
+        _, lin = jax.linearize(self.internal_forces, u)
+
+        def hvp(v):
+            vm = jnp.where(self.free_mask, v, 0.0)
+            return jnp.where(self.free_mask, lin(vm), v)
+
+        return hvp
+
     def assemble_hessian_matrices(self, u):
         """Element Hessian blocks [E, nd, nd] (for CSR assembly / diag)."""
         return L.assemble_element_elliptic_matrices(
@@ -411,10 +430,19 @@ class HyperelasticModel:
         if u0 is None:
             u0 = jnp.zeros(self.space.num_dofs, dtype=self.space.X_geo.dtype)
 
+        # Linearize once per Newton iteration when the residual memory is
+        # affordable; fall back to per-application jvp at very large scale.
+        use_lin = self.mesh.num_cells * self.tab.num_points <= 16_000_000
+
         def solve_jacobian(u, f):
             inv_diag = 1.0 / self.hessian_diagonal(u)
+            hvp = (
+                self.hessian_operator(u)
+                if use_lin
+                else (lambda v: self.hessian_vector_product(u, v))
+            )
             res = conjugate_gradient(
-                lambda v: self.hessian_vector_product(u, v),
+                hvp,
                 f,
                 preconditioner=lambda v: inv_diag * v,
                 rel_tolerance=cg_rel_tolerance,

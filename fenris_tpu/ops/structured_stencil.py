@@ -44,6 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils import log1p_accurate
+
 __all__ = ["neo_hookean_residual_pallas"]
 
 # local hex8 node -> (di, dj, dk) offsets (matches structured.py)
@@ -111,7 +113,7 @@ def _nh_force_plane(u_win, cp, gp, wdet, mu, lam, ncy, ncx, valid, xy_mask):
             + (a * (e * i_ - f_ * h_) - b * (d_ * i_ - f_ * g_) + c_ * (d_ * h_ - e * g_))
         )
         det = 1.0 + gamma
-        logJ = jnp.log1p(jnp.maximum(gamma, -0.999999))
+        logJ = log1p_accurate(jnp.maximum(gamma, -0.999999))
         alpha = -mu + lam * logJ
         inv_det = 1.0 / det
         # cofactors of F: cof[i][j] = d(det)/d(F[i][j]);  Finv^T = cof / det

@@ -104,7 +104,13 @@ def log_det_F(du_dX):
         )
     else:
         raise ValueError("physical dimension must be 1, 2 or 3")
-    return jnp.where(gamma > -1.0, jnp.log1p(jnp.maximum(gamma, -1.0 + 1e-300)), -jnp.inf)
+    from ..utils import log1p_accurate
+
+    # XLA:TPU's hardware log1p has ~1e-4 absolute error; use the accurate
+    # software version (exact for f64, ~2 ulp for f32 on TPU).
+    return jnp.where(
+        gamma > -1.0, log1p_accurate(jnp.maximum(gamma, -1.0 + 1e-300)), -jnp.inf
+    )
 
 
 class HyperelasticMaterial:

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "log1p_accurate",
     "rotation_svd",
     "polar_decomposition",
     "apd",
@@ -146,3 +147,61 @@ def save_matrix_market(path, matrix) -> None:
         f.write(f"{nr} {nc} {len(vals)}\n")
         for r, c, v in zip(rows, cols, vals):
             f.write(f"{r + 1} {c + 1} {v:.17g}\n")
+
+# -- accurate transcendentals --------------------------------------------------
+
+
+@jax.custom_jvp
+def log1p_accurate(x):
+    """log(1 + x), accurate to f32 roundoff on TPU.
+
+    XLA:TPU lowers ``log``/``log1p`` to a fast hardware approximation with
+    ~1e-4 *absolute* error — catastrophic for the log-det term of
+    Neo-Hookean energies near the identity (logdet.rs:17 relies on log1p
+    precision).  This version extracts the exponent exactly via bit
+    manipulation, evaluates an atanh series on the reduced mantissa
+    (|t| <= 0.1716, truncation < 1e-9); small arguments use the
+    cancellation-free identity log1p(x) = 2 atanh(x/(x+2)) — ~2 ulp end
+    to end, and immune to XLA's allow-excess-precision reassociation.
+
+    f64 inputs defer to ``jnp.log1p`` (exact on CPU, where f64 runs).
+    The derivative is the exact closed form ``1 / (1 + x)`` (custom_jvp),
+    keeping the bit manipulation out of autodiff.
+    """
+    x = jnp.asarray(x)
+    if x.dtype != jnp.float32:
+        return jnp.log1p(x)
+
+    def series(t):
+        # 2*atanh(t) for |t| <= ~0.172: truncation < 1e-10 relative
+        t2 = t * t
+        return 2.0 * t * (
+            1.0
+            + t2 * (1.0 / 3.0 + t2 * (0.2 + t2 * (1.0 / 7.0 + t2 * (1.0 / 9.0))))
+        )
+
+    # |x| < 0.25: log1p(x) = 2 atanh(x / (x + 2)) — no 1+x rounding at all
+    # (robust against XLA's allow-excess-precision reassociation, which
+    # cancels compensated-summation tricks).
+    small = series(x / (x + 2.0))
+
+    # |x| >= 0.25: exact exponent extraction on u = 1 + x (whose rounding
+    # is benign here), atanh series on the reduced mantissa.
+    u = jnp.maximum(1.0 + x, 1e-30)
+    bits = jax.lax.bitcast_convert_type(u, jnp.int32)
+    e = (bits >> 23) - 127
+    mbits = (bits & jnp.int32(0x007FFFFF)) | jnp.int32(0x3F800000)
+    mm = jax.lax.bitcast_convert_type(mbits, jnp.float32)
+    big = mm > 1.4142135
+    mm = jnp.where(big, 0.5 * mm, mm)
+    e = (e + big.astype(jnp.int32)).astype(jnp.float32)
+    large = e * 0.6931471805599453 + series((mm - 1.0) / (mm + 1.0))
+
+    return jnp.where(jnp.abs(x) < 0.25, small, large)
+
+
+@log1p_accurate.defjvp
+def _log1p_accurate_jvp(primals, tangents):
+    (x,) = primals
+    (t,) = tangents
+    return log1p_accurate(x), t / (1.0 + x)
