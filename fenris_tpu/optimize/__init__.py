@@ -136,21 +136,31 @@ def _newton_loop(
     alphas = _alpha_schedule(max_backtracks).astype(x0.dtype)
 
     def ls_step(x, f, p):
+        """Early-exit Armijo backtracking: one residual sweep per trial.
+
+        Returns (alpha, found, f(x + alpha p)) so the accepted residual is
+        reused by the caller (the reference's loop also stops at the first
+        sufficient decrease, newton.rs:190-214).
+        """
         g0 = 0.5 * jnp.vdot(f, f)
 
-        def try_alpha(carry, alpha):
-            best_alpha, done = carry
-            x_try = x + alpha * p
-            f_try = residual(x_try)
+        def cond(carry):
+            i, found, _, _ = carry
+            return (~found) & (i < max_backtracks)
+
+        def body(carry):
+            i, _, _, _ = carry
+            alpha = alphas[i]
+            f_try = residual(x + alpha * p)
             g = 0.5 * jnp.vdot(f_try, f_try)
             ok = g <= (1.0 - c * alpha) * g0
-            new_best = jnp.where(~done & ok, alpha, best_alpha)
-            return (new_best, done | ok), None
+            return (i + 1, ok, jnp.where(ok, alpha, 0.0), f_try)
 
-        (alpha, found), _ = jax.lax.scan(
-            try_alpha, (jnp.zeros((), x0.dtype), jnp.zeros((), bool)), alphas
+        _, found, alpha, f_acc = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+                         jnp.zeros((), x0.dtype), f)
         )
-        return alpha, found
+        return alpha, found, f_acc
 
     def cond(state):
         x, f, k, status = state
@@ -161,14 +171,16 @@ def _newton_loop(
         d = solve_jacobian(x, f)
         p = -d
         if line_search:
-            alpha, found = ls_step(x, f, p)
+            alpha, found, f1 = ls_step(x, f, p)
             fail = ~found
             alpha = jnp.where(found, alpha, 0.0)
+            f1 = jnp.where(found, f1, f)
         else:
             alpha = jnp.ones((), x0.dtype)
             fail = jnp.zeros((), bool)
         x1 = x + alpha * p
-        f1 = residual(x1)
+        if not line_search:
+            f1 = residual(x1)
         fn = jnp.linalg.norm(f1)
         new_status = jnp.where(
             fail,
