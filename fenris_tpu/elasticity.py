@@ -451,6 +451,11 @@ class HyperelasticModel:
             )
             return res.x
 
+        cache_key = (cg_rel_tolerance, cg_max_iter, line_search)
+        caches = getattr(self, "_newton_caches", None)
+        if caches is None:
+            caches = self._newton_caches = {}
+        cache = caches.setdefault(cache_key, {})
         return newton_line_search(
             self.residual,
             solve_jacobian,
@@ -458,4 +463,5 @@ class HyperelasticModel:
             tolerance=tolerance,
             max_iterations=max_newton_iterations,
             line_search=line_search,
+            cache=cache,
         )

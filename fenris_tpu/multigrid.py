@@ -157,12 +157,13 @@ class StructuredMGPreconditioner:
 
     def _smooth(self, lvl, x, b, iters):
         L = self.levels[lvl]
-
-        def body(i, x):
+        # Unrolled on purpose: a fori_loop lowers to while_loop, and a
+        # while nested inside the CG while_loop runs ~12x slower on
+        # XLA:TPU (measured; see optimize/__init__.py).  iters is small.
+        for _ in range(int(iters)):
             r = b - self._apply(lvl, x)
-            return x + self.omega * L["inv_diag"] * r
-
-        return jax.lax.fori_loop(0, iters, body, x)
+            x = x + self.omega * L["inv_diag"] * r
+        return x
 
     def _to_grid(self, lvl, v):
         return jnp.moveaxis(v.reshape(self.levels[lvl]["node_shape"] + (3,)), -1, 0)

@@ -88,22 +88,67 @@ def newton_line_search(
     c: float = 1e-4,
     alpha_min: float = 1e-6,
     max_backtracks: int = 14,
+    cache: Optional[dict] = None,
 ) -> NewtonResult:
     """Newton with Armijo backtracking (newton.rs:77, :172).
 
     Line search minimizes g(x) = ||F(x)||²/2 with sufficient decrease
     g(x + αp) <= (1 - cα) g(x).
+
+    ``cache``: optional caller-owned dict.  Tracing ``residual``/
+    ``solve_jacobian`` (closure_convert + jit) costs tens of seconds for
+    million-element models; with a cache, repeated solves (time stepping,
+    parameter sweeps) reuse the prepared jitted iteration.  The caller
+    must pass a fresh dict if the *captured state* of the callables
+    changed (same-shaped arrays with new values are fine — they are
+    hoisted into arguments and re-read each call).
     """
     x0 = jnp.asarray(x0)
 
-    # Hoist closure-captured arrays (mesh data, tabulations, dof maps...)
-    # into explicit jit arguments — constants embedded in while-loop bodies
-    # hit a pathological XLA:TPU slow path (see sparse/cg.py).
-    res_conv, res_consts = jax.closure_convert(residual, x0)
-    f_probe = jax.eval_shape(residual, x0)
-    sj_conv, sj_consts = jax.closure_convert(
-        solve_jacobian, x0, jnp.zeros(f_probe.shape, f_probe.dtype)
-    )
+    key = (x0.shape, str(x0.dtype), line_search, max_backtracks, float(c))
+    if cache is not None and cache.get("key") == key:
+        res_conv, sj_conv = cache["fns"]
+        res_consts, sj_consts = cache["consts"]
+    else:
+        # Hoist closure-captured arrays (mesh data, tabulations, dof
+        # maps...) into explicit jit arguments — constants embedded in
+        # while-loop bodies hit a pathological XLA:TPU slow path (see
+        # sparse/cg.py).
+        res_conv, res_consts = jax.closure_convert(residual, x0)
+        f_probe = jax.eval_shape(residual, x0)
+        sj_conv, sj_consts = jax.closure_convert(
+            solve_jacobian, x0, jnp.zeros(f_probe.shape, f_probe.dtype)
+        )
+        if cache is not None:
+            cache.clear()
+            cache["key"] = key
+            cache["fns"] = (res_conv, sj_conv)
+            cache["consts"] = (res_consts, sj_consts)
+
+    # A CG while_loop nested inside the Newton while_loop runs ~12x slower
+    # on XLA:TPU than the same work un-nested (measured at 1M elements on
+    # v5e).  With concrete inputs, drive the outer Newton loop from the
+    # host with one jitted iteration (a few ms of sync per Newton step —
+    # negligible against seconds of CG).  Under an outer trace (tracer
+    # inputs, e.g. a fully jitted multi-chip step) fall back to the
+    # device-side while_loop, which is the only jittable form.
+    leaves = jax.tree_util.tree_leaves((x0, res_consts, sj_consts))
+    traced = any(isinstance(l, jax.core.Tracer) for l in leaves)
+    if not traced:
+        return _newton_host_loop(
+            res_conv,
+            sj_conv,
+            res_consts,
+            sj_consts,
+            x0,
+            tolerance,
+            max_iterations,
+            line_search,
+            c,
+            alpha_min,
+            max_backtracks,
+            cache=cache,
+        )
 
     def run(res_consts, sj_consts, x0):
         return _newton_loop(
@@ -119,6 +164,103 @@ def newton_line_search(
         )
 
     return jax.jit(run)(res_consts, sj_consts, x0)
+
+
+def _newton_host_loop(
+    res_conv,
+    sj_conv,
+    res_consts,
+    sj_consts,
+    x0,
+    tolerance,
+    max_iterations,
+    line_search,
+    c,
+    alpha_min,
+    max_backtracks,
+    cache=None,
+) -> NewtonResult:
+    """Host-driven Newton outer loop with a single jitted iteration.
+
+    Semantics match :func:`_newton_loop` exactly (same line search, same
+    status codes); only the outer control flow runs on the host.
+    """
+    if cache is not None and "step" in cache:
+        init, step = cache["init"], cache["step"]
+        return _drive_host_loop(
+            init, step, res_consts, sj_consts, x0, tolerance, max_iterations
+        )
+    alphas = _alpha_schedule(max_backtracks).astype(x0.dtype)
+
+    @jax.jit
+    def init(res_consts, x0):
+        f0 = res_conv(x0, *res_consts)
+        return f0, jnp.linalg.norm(f0)
+
+    @jax.jit
+    def step(res_consts, sj_consts, x, f):
+        d = sj_conv(x, f, *sj_consts)
+        p = -d
+        if line_search:
+            g0 = 0.5 * jnp.vdot(f, f)
+
+            def cond(carry):
+                i, found, _, _ = carry
+                return (~found) & (i < max_backtracks)
+
+            def body(carry):
+                i, _, _, _ = carry
+                alpha = alphas[i]
+                f_try = res_conv(x + alpha * p, *res_consts)
+                g = 0.5 * jnp.vdot(f_try, f_try)
+                ok = g <= (1.0 - c * alpha) * g0
+                return (i + 1, ok, jnp.where(ok, alpha, 0.0), f_try)
+
+            _, found, alpha, f1 = jax.lax.while_loop(
+                cond,
+                body,
+                (jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+                 jnp.zeros((), x0.dtype), f),
+            )
+            x1 = x + alpha * p
+            f1 = jnp.where(found, f1, f)
+            x1 = jnp.where(found, x1, x)
+        else:
+            found = jnp.ones((), bool)
+            x1 = x + p
+            f1 = res_conv(x1, *res_consts)
+        return x1, f1, found, jnp.linalg.norm(f1)
+
+    if cache is not None:
+        cache["init"], cache["step"] = init, step
+    return _drive_host_loop(
+        init, step, res_consts, sj_consts, x0, tolerance, max_iterations
+    )
+
+
+def _drive_host_loop(init, step, res_consts, sj_consts, x0, tolerance, max_iterations):
+    x = x0
+    f, fn = init(res_consts, x0)
+    fn = float(fn)
+    tol = float(tolerance)
+    status = NEWTON_CONVERGED if fn <= tol else -1
+    k = 0
+    while status < 0 and k < max_iterations:
+        x, f, found, fn_dev = step(res_consts, sj_consts, x, f)
+        k += 1
+        fn = float(fn_dev)
+        if not bool(found):
+            status = NEWTON_LINE_SEARCH_FAILED
+        elif fn <= tol:
+            status = NEWTON_CONVERGED
+    if status < 0:
+        status = NEWTON_MAX_ITER
+    return NewtonResult(
+        x=x,
+        iterations=jnp.asarray(k, jnp.int32),
+        status=jnp.asarray(status, jnp.int32),
+        residual_norm=jnp.asarray(fn, x0.dtype),
+    )
 
 
 def _newton_loop(

@@ -392,6 +392,11 @@ class StructuredHyperelasticModel:
                 check_definiteness=False,
             ).x
 
+        cache_key = ("newton", cg_rel_tolerance, cg_max_iter, line_search)
+        caches = getattr(self, "_newton_caches", None)
+        if caches is None:
+            caches = self._newton_caches = {}
+        cache = caches.setdefault(cache_key, {})
         return newton_line_search(
             self.residual,
             solve_jacobian,
@@ -399,6 +404,7 @@ class StructuredHyperelasticModel:
             tolerance=tolerance,
             max_iterations=max_newton_iterations,
             line_search=line_search,
+            cache=cache,
         )
 
     def solve_mixed(
