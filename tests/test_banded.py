@@ -173,3 +173,92 @@ def test_hyperelastic_model_banded_agreement():
     # end-to-end Newton solve through the banded kernels
     r = m1.solve(tolerance=1e-9, max_newton_iterations=10)
     assert float(r.residual_norm) < 1e-9
+
+
+@pytest.mark.parametrize("target", ["tet10", "hex20"])
+def test_banded_higher_order_elements(target):
+    """Subparametric tet10/hex20 through the banded path match the default."""
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.mesh.convert import convert_mesh
+    from fenris_tpu.mesh.procedural import create_rectangular_uniform_tet_mesh
+    from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+
+    if target == "tet10":
+        mesh = convert_mesh(create_rectangular_uniform_tet_mesh(1.0, 2, 2, 2, 2), "tet10")
+    else:
+        mesh = convert_mesh(create_unit_box_uniform_hex_mesh_3d(5), "hex20")
+    kw = dict(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.0, lam=577.0),
+        dirichlet_nodes=np.arange(12),
+    )
+    m0 = HyperelasticModel(**kw)
+    m1 = HyperelasticModel(**kw, banded=True, banded_r_nodes=1024, chunk_size=64)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(m0.space.num_dofs) * 0.01)
+    v = jnp.asarray(rng.standard_normal(m0.space.num_dofs))
+    np.testing.assert_allclose(
+        np.asarray(m0.residual(u)), np.asarray(m1.residual(u)), rtol=0, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(m0.hessian_vector_product(u, v)),
+        np.asarray(m1.hessian_vector_product(u, v)),
+        rtol=0,
+        atol=1e-9,
+    )
+
+
+def test_matrix_free_poisson_matches_assembled():
+    """solve_poisson_matrix_free == solve_poisson (CSR) on 2D and 3D MMS."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from mms_common import (
+        dirichlet_nodes,
+        source_2d,
+        source_3d,
+        u_exact_2d,
+        u_exact_3d,
+        u_exact_grad_2d,
+        u_exact_grad_3d,
+    )
+
+    from fenris_tpu import quadrature as quad
+    from fenris_tpu.fem import solve_poisson, solve_poisson_matrix_free
+    from fenris_tpu.mesh import procedural
+
+    cases = [
+        (
+            procedural.create_unit_box_uniform_hex_mesh_3d(6),
+            quad.tensor.hexahedron_gauss(2),
+            quad.tensor.hexahedron_gauss(4),
+            source_3d,
+            u_exact_3d,
+            u_exact_grad_3d,
+        ),
+        (
+            procedural.create_unit_square_uniform_quad_mesh_2d(8),
+            quad.tensor.quadrilateral_gauss(2),
+            quad.tensor.quadrilateral_gauss(4),
+            source_2d,
+            u_exact_2d,
+            u_exact_grad_2d,
+        ),
+    ]
+    for mesh, rule, erule, src, ue, ug in cases:
+        dn = dirichlet_nodes(mesh)
+        r0 = solve_poisson(mesh, rule, erule, src, ue, ug, dn)
+        r1 = solve_poisson_matrix_free(
+            mesh, rule, erule, src, ue, ug, dn, banded_r_nodes=1024
+        )
+        np.testing.assert_allclose(np.asarray(r1.u), np.asarray(r0.u), atol=1e-10)
+        np.testing.assert_allclose(r1.l2_error, r0.l2_error, rtol=1e-10)
+        # non-eigenvector RHS: still agree after real CG iterations
+        bump = lambda x, p: jnp.exp(-10.0 * jnp.sum((x - 0.3) ** 2))
+        r2 = solve_poisson(mesh, rule, erule, bump, dirichlet_nodes=dn)
+        r3 = solve_poisson_matrix_free(
+            mesh, rule, erule, bump, dirichlet_nodes=dn, banded_r_nodes=1024
+        )
+        assert r3.cg_iterations > 1
+        np.testing.assert_allclose(np.asarray(r3.u), np.asarray(r2.u), atol=1e-9)
