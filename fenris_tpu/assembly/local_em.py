@@ -164,7 +164,9 @@ def assemble_element_elliptic_vectors_em(X_em, u_em, op, params, tab: Tabulation
         )
         return carry + wdet[None, None, :] * contrib
 
-    init = jnp.zeros((n, s, E), X_em.dtype)
+    # init derived from u_em (not fresh zeros) so the scan carry inherits
+    # device-varying axes under shard_map
+    init = u_em * jnp.zeros((), X_em.dtype)
     return _scan_qp(qp, tab, init, X_em.dtype)
 
 
@@ -181,7 +183,8 @@ def compute_element_elliptic_energy_em(X_em, u_em, op, params, tab: Tabulation):
         Gq = _u_grad(gp, u_em, n, d, s)
         return carry + wdet * efun(Gq, params)
 
-    return _scan_qp(qp, tab, jnp.zeros((E,), X_em.dtype), X_em.dtype)
+    init = X_em[0, 0] * jnp.zeros((), X_em.dtype)
+    return _scan_qp(qp, tab, init, X_em.dtype)
 
 
 def elliptic_matrix_diagonal_em(X_em, u_em, op, params, tab: Tabulation):
@@ -221,5 +224,5 @@ def elliptic_matrix_diagonal_em(X_em, u_em, op, params, tab: Tabulation):
         )
         return carry + wdet[None, None, :] * contrib
 
-    init = jnp.zeros((n, s, E), X_em.dtype)
+    init = u_em * jnp.zeros((), X_em.dtype)
     return _scan_qp(qp, tab, init, X_em.dtype)

@@ -57,7 +57,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.custom_derivatives import linear_call
 
-__all__ = ["BandedPlan", "make_banded_plan", "gather", "scatter_add"]
+__all__ = [
+    "BandedPlan",
+    "make_banded_plan",
+    "gather",
+    "scatter_add",
+    "gather_blocked",
+    "scatter_add_blocked",
+]
 
 
 @dataclass(frozen=True)
@@ -275,11 +282,10 @@ def _gather_kernel(plan: BandedPlan, a_ref, b_ref, u_hbm, out_ref, win, sem):
     out_ref[:] = jnp.sum(y.reshape(s, 128, rowt) * oh_b[None], axis=1)
 
 
-def _gather_tpu(plan: BandedPlan, a_loc, b_loc, u):
+def _gather_blocked_tpu(plan: BandedPlan, a_loc, b_loc, ub):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ub = _to_blocked(plan, u)
     s, rowt, n_rowt = plan.s, plan.rowt, plan.n_rowt
     out = pl.pallas_call(
         partial(_gather_kernel, plan),
@@ -332,7 +338,7 @@ def _scatter_kernel(plan: BandedPlan, f_ref, b_ref, a_ref, v_ref, out_ref, acc, 
         out_ref[0] = acc[:]
 
 
-def _scatter_tpu(plan: BandedPlan, a_loc, b_loc, valid_rows, f_el):
+def _scatter_blocked_tpu(plan: BandedPlan, a_loc, b_loc, valid_rows, f_el):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -364,23 +370,31 @@ def _scatter_tpu(plan: BandedPlan, a_loc, b_loc, valid_rows, f_el):
     for d in range(depth):
         shifted = bufp[:, d].reshape(plan.k_blocks * ra, s * 128)
         out = out.at[d * ra : d * ra + plan.k_blocks * ra].add(shifted)
-    return _from_blocked(plan, out[: plan.na_pad])
+    return out[: plan.na_pad]
 
 
 # -- XLA fallback (CPU / non-TPU backends) ------------------------------------
 
 
-def _gather_xla(plan: BandedPlan, valid_rows, nodes_padded, u):
-    rows = u[nodes_padded] * valid_rows.reshape(-1)[:, None]
+def _unblock(plan: BandedPlan, ub):
+    """Blocked [na_pad, s*128] -> padded node rows [na_pad*128, s]."""
+    return ub.reshape(plan.na_pad, plan.s, 128).transpose(0, 2, 1).reshape(-1, plan.s)
+
+
+def _gather_blocked_xla(plan: BandedPlan, valid_rows, nodes_padded, ub):
+    rows = _unblock(plan, ub)[nodes_padded] * valid_rows.reshape(-1)[:, None]
     return _rows_to_elements(plan, rows.T)
 
 
-def _scatter_xla(plan: BandedPlan, valid_rows, nodes_padded, f_el):
+def _scatter_blocked_xla(plan: BandedPlan, valid_rows, nodes_padded, f_el):
     rows = _elements_to_rows(plan, f_el).T  # [K*rows, s]
     rows = rows * valid_rows.reshape(-1)[:, None]
-    return jax.ops.segment_sum(
-        rows, nodes_padded, num_segments=plan.num_nodes
+    un = jax.ops.segment_sum(
+        rows, nodes_padded, num_segments=plan.na_pad * 128
     ).astype(f_el.dtype)
+    return un.reshape(plan.na_pad, 128, plan.s).transpose(0, 2, 1).reshape(
+        plan.na_pad, plan.s * 128
+    )
 
 
 # -- public API with linear_call autodiff -------------------------------------
@@ -395,33 +409,69 @@ def _use_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _plan_arrays(plan: BandedPlan, arrays, dtype):
+    if arrays is None:
+        arrays = (plan.a_loc, plan.b_loc, plan.valid_rows, plan.nodes_padded)
+    a, b, valid, nodes = arrays
+    return (a, b, valid.astype(dtype), nodes)
+
+
+def gather_blocked(plan: BandedPlan, ub, *, arrays=None):
+    """Gather from blocked node layout [na_pad, s*128] to rows [E_pad, n, s].
+
+    The sharded-execution entry point: ``arrays`` overrides the plan's
+    index tables (e.g. per-device shards with window-local indices);
+    ``ub`` may be a device-local window slice of the global blocked array.
+    Linear; transpose is :func:`scatter_add_blocked`.
+    """
+
+    def fwd(res, ub):
+        a_loc, b_loc, valid, nodes = res
+        if _use_tpu() and ub.dtype == jnp.float32:
+            out = _gather_blocked_tpu(plan, a_loc, b_loc, ub)
+            vr = valid.reshape(plan.padded_elements, plan.n, 1)
+            return out * vr
+        return _gather_blocked_xla(plan, valid, nodes, ub)
+
+    def trans(res, f_el):
+        a_loc, b_loc, valid, nodes = res
+        if _use_tpu() and f_el.dtype == jnp.float32:
+            return _scatter_blocked_tpu(plan, a_loc, b_loc, valid, f_el)
+        return _scatter_blocked_xla(plan, valid, nodes, f_el)
+
+    return linear_call(fwd, trans, _plan_arrays(plan, arrays, ub.dtype), ub)
+
+
+def scatter_add_blocked(plan: BandedPlan, f_el, *, arrays=None):
+    """Scatter-add rows [E_pad, n, s] into the blocked layout [na_pad, s*128].
+
+    Linear; transpose is :func:`gather_blocked`.
+    """
+
+    def fwd(res, f_el):
+        a_loc, b_loc, valid, nodes = res
+        if _use_tpu() and f_el.dtype == jnp.float32:
+            return _scatter_blocked_tpu(plan, a_loc, b_loc, valid, f_el)
+        return _scatter_blocked_xla(plan, valid, nodes, f_el)
+
+    def trans(res, ub):
+        a_loc, b_loc, valid, nodes = res
+        if _use_tpu() and ub.dtype == jnp.float32:
+            out = _gather_blocked_tpu(plan, a_loc, b_loc, ub)
+            vr = valid.reshape(plan.padded_elements, plan.n, 1)
+            return out * vr
+        return _gather_blocked_xla(plan, valid, nodes, ub)
+
+    return linear_call(fwd, trans, _plan_arrays(plan, arrays, f_el.dtype), f_el)
+
+
 def gather(plan: BandedPlan, u):
     """Gather node data ``u`` [N, s] into padded element rows [E_pad, n, s].
 
     Padding rows are zero.  Bit-exact equal to ``u[cells_permuted]`` on the
     valid rows.  Linear in ``u``; transpose is :func:`scatter_add`.
     """
-
-    def fwd(res, u):
-        a_loc, b_loc, valid, nodes = res
-        if _use_tpu() and u.dtype == jnp.float32:
-            out = _gather_tpu(plan, a_loc, b_loc, u)
-            vr = valid.reshape(plan.padded_elements, plan.n, 1)
-            return out * vr
-        return _gather_xla(plan, valid, nodes, u)
-
-    def trans(res, f_el):
-        a_loc, b_loc, valid, nodes = res
-        if _use_tpu() and f_el.dtype == jnp.float32:
-            return _scatter_tpu(plan, a_loc, b_loc, valid, f_el)
-        return _scatter_xla(plan, valid, nodes, f_el)
-
-    return linear_call(
-        fwd,
-        trans,
-        (plan.a_loc, plan.b_loc, plan.valid_rows.astype(u.dtype), plan.nodes_padded),
-        u,
-    )
+    return gather_blocked(plan, _to_blocked(plan, u))
 
 
 def scatter_add(plan: BandedPlan, f_el):
@@ -430,24 +480,4 @@ def scatter_add(plan: BandedPlan, f_el):
     Deterministic f32 accumulation; padding rows are masked out.  Linear in
     ``f_el``; transpose is :func:`gather`.
     """
-
-    def fwd(res, f_el):
-        a_loc, b_loc, valid, nodes = res
-        if _use_tpu() and f_el.dtype == jnp.float32:
-            return _scatter_tpu(plan, a_loc, b_loc, valid, f_el)
-        return _scatter_xla(plan, valid, nodes, f_el)
-
-    def trans(res, u):
-        a_loc, b_loc, valid, nodes = res
-        if _use_tpu() and u.dtype == jnp.float32:
-            out = _gather_tpu(plan, a_loc, b_loc, u)
-            vr = valid.reshape(plan.padded_elements, plan.n, 1)
-            return out * vr
-        return _gather_xla(plan, valid, nodes, u)
-
-    return linear_call(
-        fwd,
-        trans,
-        (plan.a_loc, plan.b_loc, plan.valid_rows.astype(f_el.dtype), plan.nodes_padded),
-        f_el,
-    )
+    return _from_blocked(plan, scatter_add_blocked(plan, f_el))

@@ -89,3 +89,38 @@ def test_uneven_element_count_padding():
     assert np.abs(
         np.asarray(model.internal_forces(u)) - np.asarray(sharded.internal_forces(u))
     ).max() < 1e-12
+
+
+def test_sharded_banded_matches_single_device():
+    """Banded blocks sharded over 8 devices == single-device banded model."""
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+    from fenris_tpu.parallel import make_device_mesh
+    from fenris_tpu.parallel.banded import ShardedBandedElasticity
+    from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+
+    mesh = create_unit_box_uniform_hex_mesh_3d(10)
+    model = HyperelasticModel(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.0, lam=577.0),
+        dirichlet_nodes=np.arange(121),
+        body_force=lambda x, p: jnp.array([0.0, 0.0, -2.0]),
+        banded=True,
+        banded_r_nodes=1024,
+    )
+    sb = ShardedBandedElasticity(model, make_device_mesh(8))
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(model.space.num_dofs) * 0.01)
+    v = jnp.asarray(rng.standard_normal(model.space.num_dofs))
+    np.testing.assert_allclose(
+        np.asarray(sb.residual(u)), np.asarray(model.residual(u)), rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(sb.hessian_vector_product(u, v)),
+        np.asarray(model.hessian_vector_product(u, v)),
+        rtol=0,
+        atol=1e-10,
+    )
+    res = sb.solve(tolerance=1e-9, max_newton_iterations=8)
+    assert float(res.residual_norm) < 1e-9
