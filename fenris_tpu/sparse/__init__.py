@@ -5,11 +5,15 @@ preconditioned Conjugate Gradient with pluggable stopping criteria and a
 failure taxonomy (cg.rs:196-450), parallel CSR row access (sparse.rs).
 
 TPU-first design: a CSR matrix is a NamedTuple of device arrays; SpMV is a
-gather + segment-sum over a row-expansion (XLA path) with an ELL-padded
-Pallas kernel for the speed-of-light path (:mod:`..ops.spmv`).  A linear
-operator is simply a callable ``v -> A v`` so matrix-free operator
-application (composing local assembly kernels without materializing CSR)
-plugs into the same CG.
+gather + segment-sum over a row-expansion.  A linear operator is simply a
+callable ``v -> A v``, and the *fast* path on TPU is deliberately
+matrix-free: the assembled SpMV performs ~1 flop per irregular index,
+which no TPU formulation makes competitive (even the banded one-hot trick
+of :mod:`..ops.banded` costs O(window) flops per index — amortizable over
+an element's quadrature work, not over a single multiply).  Composing the
+local assembly kernels per CG iteration is both faster and lighter than
+materializing the matrix; CSR exists for interoperability, direct
+inspection, and parity with fenris-sparse.
 """
 
 from __future__ import annotations
