@@ -21,7 +21,7 @@ from fenris_tpu.elasticity import HyperelasticModel
 from fenris_tpu.solid import NeoHookeanMaterial, lame_from_young_poisson
 
 
-def main(resolution: int = 8) -> None:
+def main(resolution: int = 8, banded: bool = False) -> None:
     mesh = ft.mesh.procedural.create_rectangular_uniform_hex_mesh(
         1.0, 2, 1, 1, resolution
     )
@@ -32,6 +32,9 @@ def main(resolution: int = 8) -> None:
         params=lame_from_young_poisson(young=5e3, poisson=0.4),
         dirichlet_nodes=clamped,
         body_force=lambda x, p: jnp.array([0.0, 0.0, -100.0], dtype=x.dtype),
+        # --banded routes sweeps through the MXU one-hot gather/scatter
+        # kernels + element-minor assembly (the large-mesh TPU fast path)
+        banded=banded,
     )
     print(f"cells: {mesh.num_cells}, dofs: {model.space.num_dofs}")
 
@@ -61,4 +64,5 @@ def main(resolution: int = 8) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(int(args[0]) if args else 8, banded="--banded" in sys.argv)
