@@ -37,6 +37,7 @@ import numpy as np
 from .local import Tabulation
 
 __all__ = [
+    "elliptic_vector_qp",
     "assemble_element_elliptic_vectors_em",
     "compute_element_elliptic_energy_em",
     "elliptic_matrix_diagonal_em",
@@ -49,6 +50,20 @@ def _params_axis(params):
     return jax.tree_util.tree_map(
         lambda x: -1 if (hasattr(x, "ndim") and x.ndim >= 1) else None, params
     )
+
+
+def _pointwise_map(fn, params, nbatch):
+    """vmap ``fn(G, params)`` over ``nbatch`` trailing batch axes of G.
+
+    Inner layers broadcast scalar params (axis None); only the outermost
+    batch axis maps per-element params.
+    """
+    p_ax = _params_axis(params)
+    out = fn
+    for i in range(nbatch):
+        ax = p_ax if i == nbatch - 1 else None
+        out = jax.vmap(out, in_axes=(-1, ax), out_axes=-1)
+    return out
 
 
 def _inv_det(J, d):
@@ -117,12 +132,37 @@ def _shapes(X_em, tab: Tabulation, op):
     return m, d, tab.dphi.shape[1], op.solution_dim
 
 
-def _scan_qp(qp_fn, tab: Tabulation, init, dtype):
+def _nbatch(X_em):
+    return X_em.ndim - 2
+
+
+def _scan_qp(qp_fn, tab: Tabulation, init, dtype, tables=None):
     """Accumulate ``qp_fn(carry, gd_q, dphi_q, w_q)`` over quadrature points.
 
     The per-point body is traced once (lax.scan); the basis tables enter as
     scanned inputs so program size is independent of the rule length.
+    ``tables`` overrides the host tabulation with Pallas kernel refs —
+    required inside kernels, which cannot capture array constants
+    (:mod:`..ops.em_sweep` passes the tables as kernel inputs).
     """
+    if tables is not None:
+        # inside Pallas kernels: Mosaic lowers neither scanned inputs nor
+        # value-level dynamic_slice.  ``tables`` are kernel *refs*; read
+        # each point's row with a dynamic pl.ds ref read inside a
+        # fori_loop so the body is traced/compiled once (full unrolling
+        # blows up Mosaic compile time).
+        import jax.experimental.pallas as pl
+
+        gd_ref, dp_ref, w_ref = tables
+        q = gd_ref.shape[0]
+
+        def body(i, carry):
+            gd = gd_ref[pl.ds(i, 1)][0]
+            dp = dp_ref[pl.ds(i, 1)][0]
+            w = w_ref[pl.ds(i, 1)][0, 0]
+            return qp_fn(carry, gd, dp, w)
+
+        return jax.lax.fori_loop(0, q, body, init)
     xs = (
         jnp.asarray(tab.geo_dphi, dtype),
         jnp.asarray(tab.dphi, dtype),
@@ -136,47 +176,55 @@ def _scan_qp(qp_fn, tab: Tabulation, init, dtype):
     return out
 
 
-def assemble_element_elliptic_vectors_em(X_em, u_em, op, params, tab: Tabulation):
+def elliptic_vector_qp(X_em, u_em, op, params, gd_q, dphi_q, w_q):
+    """One quadrature point's weighted element-vector contribution.
+
+    Pure function of (geometry, dofs, basis rows) — shared by the scanned
+    XLA sweep and the fused Pallas kernel (:mod:`..ops.em_sweep`), whose
+    tangent sweep differentiates it with ``jax.jvp`` per point.
+    Returns ``[n, s, *batch]``.
+    """
+    m, d = X_em.shape[0], X_em.shape[1]
+    n, s = u_em.shape[0], u_em.shape[1]
+    X = [[X_em[mm, dd] for dd in range(d)] for mm in range(m)]
+    gfun = _pointwise_map(lambda GG, p: op.g(GG, p), params, _nbatch(X_em))
+    gp, wdet = _qp_geometry(X, gd_q, dphi_q, w_q, d, m, n)
+    Gq = _u_grad(gp, u_em, n, d, s)
+    gv = gfun(Gq, params)  # [d, s, *batch]
+    contrib = jnp.stack(
+        [
+            jnp.stack(
+                [sum(gp[nn][dd] * gv[dd, ss] for dd in range(d)) for ss in range(s)],
+                0,
+            )
+            for nn in range(n)
+        ],
+        0,
+    )
+    return wdet[None, None] * contrib
+
+
+def assemble_element_elliptic_vectors_em(X_em, u_em, op, params, tab: Tabulation, tables=None):
     """Element vectors in element-minor layout: ``[n, s, E]``.
 
     Same quantity as :func:`..local.assemble_element_elliptic_vectors`
     (elliptic.rs:457) reshaped; exactness is pinned by tests.
     """
-    m, d, n, s = _shapes(X_em, tab, op)
-    E = X_em.shape[-1]
-    X = [[X_em[mm, dd] for dd in range(d)] for mm in range(m)]
-    p_ax = _params_axis(params)
-    gfun = jax.vmap(lambda GG, p: op.g(GG, p), in_axes=(-1, p_ax), out_axes=-1)
 
     def qp(carry, gd_q, dphi_q, w_q):
-        gp, wdet = _qp_geometry(X, gd_q, dphi_q, w_q, d, m, n)
-        Gq = _u_grad(gp, u_em, n, d, s)
-        gv = gfun(Gq, params)  # [d, s, E]
-        contrib = jnp.stack(
-            [
-                jnp.stack(
-                    [sum(gp[nn][dd] * gv[dd, ss] for dd in range(d)) for ss in range(s)],
-                    0,
-                )
-                for nn in range(n)
-            ],
-            0,
-        )
-        return carry + wdet[None, None, :] * contrib
+        return carry + elliptic_vector_qp(X_em, u_em, op, params, gd_q, dphi_q, w_q)
 
     # init derived from u_em (not fresh zeros) so the scan carry inherits
     # device-varying axes under shard_map
     init = u_em * jnp.zeros((), X_em.dtype)
-    return _scan_qp(qp, tab, init, X_em.dtype)
+    return _scan_qp(qp, tab, init, X_em.dtype, tables)
 
 
 def compute_element_elliptic_energy_em(X_em, u_em, op, params, tab: Tabulation):
     """Per-element energies ``[E]`` (elliptic.rs:551)."""
     m, d, n, s = _shapes(X_em, tab, op)
-    E = X_em.shape[-1]
     X = [[X_em[mm, dd] for dd in range(d)] for mm in range(m)]
-    p_ax = _params_axis(params)
-    efun = jax.vmap(lambda GG, p: op.energy(GG, p), in_axes=(-1, p_ax), out_axes=-1)
+    efun = _pointwise_map(lambda GG, p: op.energy(GG, p), params, _nbatch(X_em))
 
     def qp(carry, gd_q, dphi_q, w_q):
         gp, wdet = _qp_geometry(X, gd_q, dphi_q, w_q, d, m, n)
@@ -194,11 +242,9 @@ def elliptic_matrix_diagonal_em(X_em, u_em, op, params, tab: Tabulation):
     of the contraction tensor are contracted.
     """
     m, d, n, s = _shapes(X_em, tab, op)
-    E = X_em.shape[-1]
     X = [[X_em[mm, dd] for dd in range(d)] for mm in range(m)]
-    p_ax = _params_axis(params)
-    dfun = jax.vmap(
-        lambda GG, p: op.contraction(GG, p), in_axes=(-1, p_ax), out_axes=-1
+    dfun = _pointwise_map(
+        lambda GG, p: op.contraction(GG, p), params, _nbatch(X_em)
     )
 
     def qp(carry, gd_q, dphi_q, w_q):
@@ -222,7 +268,7 @@ def elliptic_matrix_diagonal_em(X_em, u_em, op, params, tab: Tabulation):
             ],
             0,
         )
-        return carry + wdet[None, None, :] * contrib
+        return carry + wdet[None, None] * contrib
 
     init = u_em * jnp.zeros((), X_em.dtype)
     return _scan_qp(qp, tab, init, X_em.dtype)

@@ -1,0 +1,179 @@
+"""Fused element-sweep Pallas kernels: VMEM-resident element math.
+
+The XLA element-minor sweep (:mod:`..assembly.local_em`) is limited by
+kernel-fusion boundaries: its ~600-op elementwise chain per quadrature
+point splits into many XLA kernels whose intermediates round-trip through
+HBM (~37 ms per 1M-element Neo-Hookean sweep on v5e — ~4x the VPU-bound
+floor).  This module runs the *same* element-minor code inside a single
+Pallas kernel per tile of 1024 elements (8 sublanes x 128 lanes), so every
+intermediate lives in VMEM/VREGs and HBM traffic is just X, u(, v) in and
+f out.
+
+Tangents for Newton-Krylov Hessian actions come from tracing ``jax.jvp``
+of the element function *inside* the kernel body — generic over
+operators/materials, no hand-derived tangent stress.
+
+Only f32, scalar (broadcast) parameters, and volumetric elements; the XLA
+sweep remains the general path and the CPU fallback.
+
+**Status: experimental on the current toolchain** (same class of issue as
+:mod:`.structured_stencil`).  The kernels are exact in Pallas interpreter
+mode (tests/test_em_kernel.py) and structured per the patterns that
+compile well (fori over quadrature points with pl.ds ref reads, ref
+accumulation with a trivial carry, raised scoped-VMEM limit for the ~200
+live tile temporaries).  On the axon v5e remote-compile stack, however,
+Mosaic compilation of the ~600-op material body exceeds 14 minutes
+(earlier variants: scanned-xs lowering unimplemented; full unroll and
+value-carry fori blow up compile time; default 16MB scoped VMEM
+overflows at 69.7MB, fixed by ``vmem_limit_bytes``).  The production
+unstructured path remains banded gather/scatter + the scanned XLA
+element-minor sweep until the toolchain stabilizes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assembly import local_em as LE
+from ..assembly.local import Tabulation
+
+__all__ = ["em_vector_sweep", "em_vector_jvp_sweep", "supports"]
+
+_TILE = (8, 128)
+_ET = _TILE[0] * _TILE[1]
+
+
+def supports(params) -> bool:
+    """Kernel path preconditions: TPU backend + broadcast (scalar) params."""
+    if jax.default_backend() != "tpu":
+        return False
+    return all(
+        not (hasattr(x, "ndim") and x.ndim >= 1)
+        for x in jax.tree_util.tree_leaves(params)
+    )
+
+
+def _pad_tiles(x, E):
+    """[..., E] -> [..., Et, 8, 128] padded with edge values."""
+    Et = -(-E // _ET)
+    pad = Et * _ET - E
+    if pad:
+        x = jnp.concatenate([x, jnp.repeat(x[..., -1:], pad, axis=-1)], axis=-1)
+    return x.reshape(*x.shape[:-1], Et, *_TILE), Et
+
+
+def _unpad_tiles(x, E):
+    """[..., Et, 8, 128] -> [..., E]."""
+    return x.reshape(*x.shape[:-3], -1)[..., :E]
+
+
+def _vector_kernel(op, params, tab, gd_ref, dp_ref, w_ref, x_ref, u_ref, o_ref):
+    import jax.experimental.pallas as pl
+
+    X_em = x_ref[:, :, 0]
+    u_em = u_ref[:, :, 0]
+    q = gd_ref.shape[0]
+    o_ref[:, :, 0] = u_em * jnp.zeros((), jnp.float32)
+
+    # ref accumulation with a trivial fori carry: Mosaic compiles this
+    # shape of loop quickly; big value carries and full unrolls do not
+    def body(i, _):
+        gd = gd_ref[pl.ds(i, 1)][0]
+        dp = dp_ref[pl.ds(i, 1)][0]
+        w = w_ref[pl.ds(i, 1)][0, 0]
+        o_ref[:, :, 0] += LE.elliptic_vector_qp(X_em, u_em, op, params, gd, dp, w)
+        return 0
+
+    jax.lax.fori_loop(0, q, body, 0)
+
+
+def _vector_jvp_kernel(op, params, tab, gd_ref, dp_ref, w_ref, x_ref, u_ref, v_ref, o_ref):
+    import jax.experimental.pallas as pl
+
+    X_em = x_ref[:, :, 0]
+    u_em = u_ref[:, :, 0]
+    v_em = v_ref[:, :, 0]
+    q = gd_ref.shape[0]
+    o_ref[:, :, 0] = u_em * jnp.zeros((), jnp.float32)
+
+    def body(i, _):
+        gd = gd_ref[pl.ds(i, 1)][0]
+        dp = dp_ref[pl.ds(i, 1)][0]
+        w = w_ref[pl.ds(i, 1)][0, 0]
+        _, dc = jax.jvp(
+            lambda uu: LE.elliptic_vector_qp(X_em, uu, op, params, gd, dp, w),
+            (u_em,),
+            (v_em,),
+        )
+        o_ref[:, :, 0] += dc
+        return 0
+
+    jax.lax.fori_loop(0, q, body, 0)
+
+
+def _tables(tab: Tabulation):
+    return (
+        jnp.asarray(tab.geo_dphi, jnp.float32),
+        jnp.asarray(tab.dphi, jnp.float32),
+        jnp.asarray(tab.weights, jnp.float32)[:, None],
+    )
+
+
+def _call(kernel, out_nodes, s, tab, operands, Et):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tabs = _tables(tab)
+    tab_specs = [
+        pl.BlockSpec(t.shape, lambda e, nd=t.ndim: (0,) * nd) for t in tabs
+    ]
+    specs = [
+        pl.BlockSpec(
+            (x.shape[0], x.shape[1], 1) + _TILE,
+            lambda e: (0, 0, e, 0, 0),
+        )
+        for x in operands
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(Et,),
+        in_specs=tab_specs + specs,
+        out_specs=pl.BlockSpec(
+            (out_nodes, s, 1) + _TILE, lambda e: (0, 0, e, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (out_nodes, s, Et) + _TILE, jnp.float32
+        ),
+        # the per-point body holds ~200 [8,128]-tile temporaries on
+        # Mosaic's VMEM stack; the default 16MB scoped limit is too small
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+    )(*tabs, *operands)
+
+
+def em_vector_sweep(X_em, u_em, op, params, tab: Tabulation):
+    """[m,d,E],[n,s,E] -> f [n,s,E]: fused elliptic vector sweep (TPU)."""
+    E = X_em.shape[-1]
+    n, s = u_em.shape[0], u_em.shape[1]
+    Xt, Et = _pad_tiles(X_em.astype(jnp.float32), E)
+    ut, _ = _pad_tiles(u_em.astype(jnp.float32), E)
+    out = _call(partial(_vector_kernel, op, params, tab), n, s, tab, (Xt, ut), Et)
+    return _unpad_tiles(out, E)
+
+
+def em_vector_jvp_sweep(X_em, u_em, v_em, op, params, tab: Tabulation):
+    """Tangent sweep df = (d/du f)(u)[v] in one fused kernel (TPU)."""
+    E = X_em.shape[-1]
+    n, s = u_em.shape[0], u_em.shape[1]
+    Xt, Et = _pad_tiles(X_em.astype(jnp.float32), E)
+    ut, _ = _pad_tiles(u_em.astype(jnp.float32), E)
+    vt, _ = _pad_tiles(v_em.astype(jnp.float32), E)
+    out = _call(
+        partial(_vector_jvp_kernel, op, params, tab), n, s, tab, (Xt, ut, vt), Et
+    )
+    return _unpad_tiles(out, E)

@@ -1,0 +1,52 @@
+"""Fused element-sweep Pallas kernels vs the XLA element-minor sweep.
+
+Interpreter-mode correctness pin (the kernel is experimental on the
+current TPU toolchain — see ops/em_sweep.py docstring).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from fenris_tpu.assembly import local as L
+from fenris_tpu.assembly import local_em as LE
+from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+from fenris_tpu.ops.em_sweep import em_vector_jvp_sweep, em_vector_sweep
+from fenris_tpu.quadrature.canonical import canonical_stiffness
+from fenris_tpu.solid import LameParameters, MaterialEllipticOperator, NeoHookeanMaterial
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+
+
+def test_em_kernels_match_xla_sweep(interpret_pallas, rng):
+    mesh = create_unit_box_uniform_hex_mesh_3d(10)
+    op = MaterialEllipticOperator(NeoHookeanMaterial(), dim=3)
+    params = LameParameters(mu=384.614, lam=576.923)
+    tab = L.tabulate(mesh.element, canonical_stiffness(mesh.element))
+    E = mesh.num_cells  # 1000: exercises tile padding (Et = 1, pad 24)
+    X = jnp.asarray(np.transpose(mesh.cell_points(), (1, 2, 0)), jnp.float32)
+    u = jnp.asarray(rng.uniform(-0.001, 0.001, (8, 3, E)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1.0, 1.0, (8, 3, E)), jnp.float32)
+
+    f_ref = np.asarray(LE.assemble_element_elliptic_vectors_em(X, u, op, params, tab))
+    f_k = np.asarray(em_vector_sweep(X, u, op, params, tab))
+    np.testing.assert_allclose(f_k, f_ref, rtol=0, atol=1e-7)
+
+    _, df_ref = jax.jvp(
+        lambda uu: LE.assemble_element_elliptic_vectors_em(X, uu, op, params, tab),
+        (u,),
+        (v,),
+    )
+    df_k = np.asarray(em_vector_jvp_sweep(X, u, v, op, params, tab))
+    np.testing.assert_allclose(df_k, np.asarray(df_ref), rtol=0, atol=1e-5)
