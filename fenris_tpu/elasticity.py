@@ -9,10 +9,11 @@ TPU-first design: the Newton system is solved **matrix-free** — the
 Hessian-vector product is ``jax.jvp`` of the assembled residual, which XLA
 fuses into one batched element sweep + scatter per CG iteration (the
 CSR matrix is never materialized; only its diagonal is assembled for the
-Jacobi preconditioner).  The whole Newton solve (residual, line search, CG)
-is a single jitted computation with no host round-trips, and the same
-function shards over a device mesh by element-data-parallelism
-(:mod:`.parallel`).
+Jacobi preconditioner).  Each Newton iteration (linear solve, line search,
+residual) is one jitted computation; the outer loop runs on the host —
+a nested CG-in-Newton while_loop is ~12x slower on XLA:TPU (see
+:mod:`.optimize`).  The same sweeps shard over a device mesh by
+element-data-parallelism (:mod:`.parallel`).
 
 Homogeneous Dirichlet constraints are enforced by dof masking: constrained
 residual entries are zeroed and the Hessian action is ``mask ∘ H ∘ mask +

@@ -7,11 +7,13 @@ Parity: fenris-optimize — ``newton`` (newton.rs:61), ``newton_line_search``
 c = 1e-4, alpha_min = 1e-6); finite-difference helpers from calculus.rs
 (``approximate_jacobian_fd`` :266, ``approximate_gradient_fd`` :205).
 
-TPU-first: the driver loop is a jit-compatible ``lax.while_loop`` with the
-residual evaluation and linear solve provided as callables (typically the
-batched assembly kernels + CG), so an entire Newton solve is one XLA
-computation with no host round-trips.  A Python-loop variant is provided
-for host-side control (adaptive tolerances, logging).
+TPU-first: the residual evaluation and linear solve are callables
+(typically the batched assembly kernels + CG).  With concrete inputs the
+outer Newton loop runs on the host over one jitted iteration — XLA:TPU
+executes a while_loop nested inside another while body ~12x slower than
+the identical un-nested work, so CG-inside-Newton must not be a nested
+device loop.  Under an outer trace (e.g. a fully jitted sharded step)
+the solver falls back to the jit-compatible ``lax.while_loop`` form.
 """
 
 from __future__ import annotations

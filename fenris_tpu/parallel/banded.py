@@ -25,7 +25,6 @@ from __future__ import annotations
 import dataclasses
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -64,14 +63,7 @@ class ShardedBandedElasticity:
         K = plan.k_blocks
         Kd = -(-K // n_dev)
         K_pad = Kd * n_dev
-        rows, bp, n, s, ra, wa = (
-            plan.rows,
-            plan.elements_per_block,
-            plan.n,
-            plan.s,
-            plan.ra,
-            plan.wa,
-        )
+        bp, ra, wa = plan.elements_per_block, plan.ra, plan.wa
         na_local = Kd * ra + wa
         na_ext = max(plan.na_pad, (K_pad - 1) * ra + wa)
 
