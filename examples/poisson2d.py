@@ -4,7 +4,7 @@ Mirror of the reference's examples/poisson2d.rs: manufactured solution
 u = sin(pi x) sin(pi y), homogeneous Dirichlet boundary, Jacobi-CG solve,
 VTU export of the approximate and exact solutions.
 
-Run:  python examples/poisson2d.py [resolution]
+Run:  python examples/poisson2d.py [resolution] [--matrix-free]
 """
 
 import sys
@@ -20,11 +20,14 @@ import fenris_tpu as ft
 PI = np.pi
 
 
-def main(resolution: int = 50) -> None:
+def main(resolution: int = 50, matrix_free: bool = False) -> None:
     mesh = ft.mesh.procedural.create_unit_square_uniform_quad_mesh_2d(resolution)
     dirichlet = np.flatnonzero(np.abs(mesh.points - 0.5).max(axis=1) > 0.4999)
 
-    result = ft.fem.solve_poisson(
+    # --matrix-free: CG on the banded operator action; no symbolic
+    # assembly, no CSR (fem.solve_poisson_matrix_free)
+    solver = ft.fem.solve_poisson_matrix_free if matrix_free else ft.fem.solve_poisson
+    result = solver(
         mesh,
         rule=ft.quadrature.quadrilateral_gauss(2),
         error_rule=ft.quadrature.quadrilateral_gauss(6),
@@ -58,4 +61,5 @@ def main(resolution: int = 50) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 50)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(int(args[0]) if args else 50, matrix_free="--matrix-free" in sys.argv)
