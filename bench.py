@@ -96,6 +96,10 @@ def main() -> None:
         )
         uu0 = jnp.zeros(umodel.space.num_dofs, jnp.float32)
 
+        # closure-captured model arrays are safe here: the banded TPU path
+        # feeds them to Pallas kernels, not to XLA gathers (the CLAUDE.md
+        # closure-constant slow path applies to the XLA fallback only,
+        # which is unreachable on the f32 TPU measurement path)
         def u_hvp_step(v):
             return v + 1e-12 * umodel.hessian_vector_product(uu0, v)
 

@@ -452,11 +452,9 @@ class HyperelasticModel:
             )
             return res.x
 
-        cache_key = (cg_rel_tolerance, cg_max_iter, line_search)
-        caches = getattr(self, "_newton_caches", None)
-        if caches is None:
-            caches = self._newton_caches = {}
-        cache = caches.setdefault(cache_key, {})
+        from .optimize import newton_cache
+
+        cache = newton_cache(self, cg_rel_tolerance, cg_max_iter, line_search)
         return newton_line_search(
             self.residual,
             solve_jacobian,

@@ -28,6 +28,7 @@ __all__ = [
     "NewtonResult",
     "newton",
     "newton_line_search",
+    "newton_cache",
     "backtracking_alphas",
     "approximate_jacobian_fd",
     "approximate_gradient_fd",
@@ -39,6 +40,21 @@ __all__ = [
 NEWTON_CONVERGED = 0
 NEWTON_MAX_ITER = 1
 NEWTON_LINE_SEARCH_FAILED = 2
+
+
+def newton_cache(obj, *key) -> dict:
+    """Per-object Newton solver cache keyed by solver parameters.
+
+    Returns a dict suitable for :func:`newton_line_search`'s ``cache``
+    argument, stored on ``obj`` so repeated ``solve`` calls skip
+    re-tracing.  Callers must ensure the captured model state is
+    unchanged between uses (see ``newton_line_search``).
+    """
+    caches = getattr(obj, "_newton_caches", None)
+    if caches is None:
+        caches = {}
+        object.__setattr__(obj, "_newton_caches", caches)
+    return caches.setdefault(key, {})
 
 
 class NewtonResult(NamedTuple):
@@ -99,11 +115,12 @@ def newton_line_search(
 
     ``cache``: optional caller-owned dict.  Tracing ``residual``/
     ``solve_jacobian`` (closure_convert + jit) costs tens of seconds for
-    million-element models; with a cache, repeated solves (time stepping,
-    parameter sweeps) reuse the prepared jitted iteration.  The caller
-    must pass a fresh dict if the *captured state* of the callables
-    changed (same-shaped arrays with new values are fine — they are
-    hoisted into arguments and re-read each call).
+    million-element models; with a cache, repeated solves (e.g. time
+    stepping with evolving initial guesses) reuse the prepared jitted
+    iteration.  On a cache hit the callables are NOT re-traced: arrays
+    they captured are reused as snapshotted at first use.  Pass a fresh
+    dict whenever anything captured by the callables changes (new mesh,
+    new loads, new parameters) — only ``x0`` varies freely.
     """
     x0 = jnp.asarray(x0)
 

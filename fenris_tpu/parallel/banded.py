@@ -65,7 +65,8 @@ class ShardedBandedElasticity:
         K_pad = Kd * n_dev
         bp, ra, wa = plan.elements_per_block, plan.ra, plan.wa
         na_local = Kd * ra + wa
-        na_ext = max(plan.na_pad, (K_pad - 1) * ra + wa)
+        # last device slices [ (n_dev-1)*Kd*ra, K_pad*ra + wa )
+        na_ext = max(plan.na_pad, K_pad * ra + wa)
 
         def pad_k(x, fill=0):
             x = np.asarray(x).reshape(K, -1)
@@ -119,19 +120,50 @@ class ShardedBandedElasticity:
         self.X_band = put(Xb_pad.reshape(n_dev, Kd * bp, *Xb_pad.shape[1:]))
         self.valid_el = put(vel.reshape(n_dev, Kd * bp))
 
+        # per-element parameter leaves (padded to K*bp by the model) are
+        # padded to K_pad*bp and sharded by block like the geometry;
+        # scalar leaves stay replicated closure constants
+        pe_global = K * bp
+        leaves, self._params_treedef = jax.tree_util.tree_flatten(m._params_band)
+        self._params_flags = [
+            hasattr(x, "ndim") and getattr(x, "ndim", 0) >= 1 and x.shape[0] == pe_global
+            for x in leaves
+        ]
+        self._params_scalar = [
+            x for x, f in zip(leaves, self._params_flags) if not f
+        ]
+        self._params_sharded = tuple(
+            put(
+                np.concatenate(
+                    [np.asarray(x), np.repeat(np.asarray(x)[:1], (K_pad - K) * bp, axis=0)]
+                ).reshape(n_dev, Kd * bp, *np.asarray(x).shape[1:])
+            )
+            for x, f in zip(leaves, self._params_flags)
+            if f
+        )
+
         self._ext_plan = dataclasses.replace(
             plan, k_blocks=K_pad, na_pad=na_ext
         )
         self._shmap = partial(
             jax.shard_map,
             mesh=self.mesh,
-            in_specs=(P(self.axis),) * 6 + (P(),),
+            in_specs=(P(self.axis),) * (6 + len(self._params_sharded)) + (P(),),
             out_specs=P(),
         )
 
     # -- sharded banded sweep -----------------------------------------------------
 
-    def _sweep_shardfn(self, a, b, vrows, nloc, Xc, vel, u):
+    def _local_params(self, pls):
+        it = iter(p[0] for p in pls)
+        scal = iter(self._params_scalar)
+        leaves = [
+            next(it) if f else next(scal) for f in self._params_flags
+        ]
+        return jax.tree_util.tree_unflatten(self._params_treedef, leaves)
+
+    def _sweep_shardfn(self, a, b, vrows, nloc, Xc, vel, *pls_u):
+        *pls, u = pls_u
         m = self.model
         lp = self.local_plan
         s, n, ra = lp.s, lp.n, lp.ra
@@ -153,7 +185,7 @@ class ShardedBandedElasticity:
             jnp.transpose(Xg, (1, 2, 0)),
             jnp.transpose(u_el, (1, 2, 0)),
             m.operator,
-            m._params_band,
+            self._local_params(pls),
             m.tab,
         )
         f_el = jnp.transpose(f_em, (2, 0, 1)) * vel[0][:, None, None]
@@ -173,6 +205,7 @@ class ShardedBandedElasticity:
             self.nodes_local,
             self.X_band,
             self.valid_el,
+            *self._params_sharded,
             u,
         )
 
@@ -210,6 +243,8 @@ class ShardedBandedElasticity:
                 check_definiteness=False,
             ).x
 
+        from ..optimize import newton_cache
+
         return newton_line_search(
             self.residual,
             solve_jacobian,
@@ -217,4 +252,5 @@ class ShardedBandedElasticity:
             tolerance=tolerance,
             max_iterations=max_newton_iterations,
             line_search=line_search,
+            cache=newton_cache(self, cg_rel_tolerance, cg_max_iter, line_search),
         )

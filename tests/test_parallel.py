@@ -91,6 +91,46 @@ def test_uneven_element_count_padding():
     ).max() < 1e-12
 
 
+def test_sharded_banded_last_device_window():
+    """K divisible by n_dev: the last real block lands on the last device.
+
+    Regression for the na_ext off-by-one (window clamped by dynamic_slice)
+    and for per-element parameter sharding.
+    """
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+    from fenris_tpu.parallel import make_device_mesh
+    from fenris_tpu.parallel.banded import ShardedBandedElasticity
+    from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+
+    mesh = create_unit_box_uniform_hex_mesh_3d(19)  # 8000 nodes -> K = 8
+    E = mesh.num_cells
+    mu_el = np.full((E,), 384.0)
+    mu_el[: E // 2] = 500.0  # per-element parameters must shard too
+    model = HyperelasticModel(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=mu_el, lam=577.0),
+        dirichlet_nodes=np.arange(400),
+        banded=True,
+        banded_r_nodes=1024,
+    )
+    sb = ShardedBandedElasticity(model, make_device_mesh(8))
+    assert sb.Kd * 8 == sb.K_pad == model._plan.k_blocks  # exercises the edge
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.standard_normal(model.space.num_dofs) * 0.01)
+    np.testing.assert_allclose(
+        np.asarray(sb.residual(u)), np.asarray(model.residual(u)), rtol=0, atol=1e-12
+    )
+    v = jnp.asarray(rng.standard_normal(model.space.num_dofs))
+    np.testing.assert_allclose(
+        np.asarray(sb.hessian_vector_product(u, v)),
+        np.asarray(model.hessian_vector_product(u, v)),
+        rtol=0,
+        atol=1e-10,
+    )
+
+
 def test_sharded_banded_matches_single_device():
     """Banded blocks sharded over 8 devices == single-device banded model."""
     from fenris_tpu.elasticity import HyperelasticModel

@@ -53,7 +53,12 @@ def resolution_to_h(summary):
 
 def main(directory: str = "tests/reference_values") -> None:
     rows = []
-    for path in sorted(Path(directory).glob("poisson*_summary.json")):
+    paths = sorted(Path(directory).glob("poisson*_summary.json"))
+    if not paths:
+        raise SystemExit(
+            f"no poisson*_summary.json files found in {directory!r}"
+        )
+    for path in paths:
         s = json.loads(path.read_text())
         name = s.get("element_name", path.stem)
         key = name.lower().replace("d2", "").replace("d3", "")
