@@ -16,18 +16,19 @@ operators/materials, no hand-derived tangent stress.
 Only f32, scalar (broadcast) parameters, and volumetric elements; the XLA
 sweep remains the general path and the CPU fallback.
 
-**Status: experimental on the current toolchain** (same class of issue as
-:mod:`.structured_stencil`).  The kernels are exact in Pallas interpreter
-mode (tests/test_em_kernel.py) and structured per the patterns that
-compile well (fori over quadrature points with pl.ds ref reads, ref
-accumulation with a trivial carry, raised scoped-VMEM limit for the ~200
-live tile temporaries).  On the axon v5e remote-compile stack, however,
-Mosaic compilation of the ~600-op material body exceeds 14 minutes
-(earlier variants: scanned-xs lowering unimplemented; full unroll and
-value-carry fori blow up compile time; default 16MB scoped VMEM
-overflows at 69.7MB, fixed by ``vmem_limit_bytes``).  The production
-unstructured path remains banded gather/scatter + the scanned XLA
-element-minor sweep until the toolchain stabilizes.
+**Status: working but compile-expensive on the current toolchain.**  The
+kernels are exact in Pallas interpreter mode (tests/test_em_kernel.py)
+and the compiled vector kernel is **bit-exact on v5e** — but Mosaic takes
+~25 minutes to compile the ~600-op material body (one-time per
+configuration; the persistent compilation cache makes subsequent runs
+instant).  Structure notes that got it compiling at all: fori over
+quadrature points with pl.ds ref reads and ref accumulation with a
+trivial carry (scanned-xs lowering is unimplemented; full unrolls and
+value-carry fori are far worse); scoped-VMEM default of 16MB overflows
+at 69.7MB, raised via ``vmem_limit_bytes``.  The production unstructured
+path remains banded gather/scatter + the scanned XLA element-minor sweep
+until compile times are tolerable; opt in per deployment where a 25-min
+warmup amortizes.
 """
 
 from __future__ import annotations

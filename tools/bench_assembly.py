@@ -156,5 +156,72 @@ def main() -> None:
         )
 
 
+def element_stiffness_rates() -> None:
+    """BASELINE.json north-star: element stiffness assemblies/sec, Hex20/Tet10.
+
+    Measures the batched element-matrix kernel (pre-scatter): [E, nd, nd]
+    elasticity stiffness blocks per second.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fenris_tpu.assembly import local as L
+    from fenris_tpu.fem import FemSpace
+    from fenris_tpu.mesh.convert import convert_mesh
+    from fenris_tpu.mesh.procedural import (
+        create_rectangular_uniform_tet_mesh,
+        create_unit_box_uniform_hex_mesh_3d,
+    )
+    from fenris_tpu.quadrature.canonical import canonical_stiffness
+    from fenris_tpu.solid import (
+        LameParameters,
+        LinearElasticMaterial,
+        MaterialEllipticOperator,
+    )
+
+    import time as _t
+
+    cases = [
+        ("hex20", convert_mesh(create_unit_box_uniform_hex_mesh_3d(28), "hex20")),
+        ("tet10", convert_mesh(
+            create_rectangular_uniform_tet_mesh(1.0, 1, 1, 1, 18), "tet10"
+        )),
+    ]
+    mop = MaterialEllipticOperator(LinearElasticMaterial(), dim=3)
+    params = LameParameters(mu=384.0, lam=577.0)
+    for name, mesh in cases:
+        space = FemSpace.create(mesh)
+        tab = L.tabulate(mesh.element, canonical_stiffness(mesh.element))
+        E = mesh.num_cells
+        u0 = jnp.zeros((E, mesh.element.num_nodes, 3), space.X_geo.dtype)
+
+        fn = jax.jit(
+            lambda Xg, u0=u0: L.assemble_element_elliptic_matrices(
+                Xg, u0, mop, params, tab
+            )
+        )
+        out = fn(space.X_geo)
+        _ = np.asarray(out).ravel()[:1]
+        best = np.inf
+        for _i in range(3):
+            t0 = _t.perf_counter()
+            out = fn(space.X_geo)
+            _ = np.asarray(out).ravel()[:1]
+            best = min(best, _t.perf_counter() - t0)
+        print(
+            json.dumps(
+                {
+                    "case": f"element_stiffness_{name}_elasticity",
+                    "elements": E,
+                    "local_matrix": f"{u0.shape[1]*3}x{u0.shape[1]*3}",
+                    "seconds": round(best, 5),
+                    "assemblies_per_sec": round(E / best, 1),
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     main()
+    element_stiffness_rates()
