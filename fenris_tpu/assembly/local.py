@@ -272,7 +272,15 @@ def assemble_element_elliptic_matrices(X_geo, u_el, op, params, tab: Tabulation)
     D = _vmap2(lambda Gp, p: op.contraction(Gp, p), params)(G, params)
     # D: [E, q, d, s, d, s]
     wdet = _wdet(tab, detJ, X_geo.dtype)
-    A = _einsum("eq,eqnk,eqkimj,eqpm->enipj", wdet, gp, D, gp)
+    # Two-step contraction: the tiny m-contraction first, then one
+    # MXU-shaped batched matmul contracting (q, k) — equivalent to the
+    # fused 4-operand einsum to machine precision and never slower.
+    # (The assembled-matrix path is a compatibility surface; the TPU hot
+    # paths are matrix-free and element-minor.  Profiling shows the
+    # remaining cost here is the per-point jacfwd contraction tensor on
+    # minor-dim [3,3] tiles, not this contraction.)
+    T = _einsum("eqkimj,eqpm->eqkipj", D, gp)
+    A = _einsum("eq,eqnk,eqkipj->enipj", wdet, gp, T)
     E, n = A.shape[0], A.shape[1]
     A = A.reshape(E, n * s, n * s)
     if op.symmetric:

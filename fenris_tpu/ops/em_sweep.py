@@ -28,7 +28,11 @@ value-carry fori are far worse); scoped-VMEM default of 16MB overflows
 at 69.7MB, raised via ``vmem_limit_bytes``.  The production unstructured
 path remains banded gather/scatter + the scanned XLA element-minor sweep
 until compile times are tolerable; opt in per deployment where a 25-min
-warmup amortizes.
+warmup amortizes.  The jvp kernel additionally exceeds physical VMEM
+(168MB live temporaries vs 128MB on v5e; 8x128 elements is already the
+minimal f32 tile) — it needs either per-point body splitting or
+hand-derived material tangents with a smaller live set before it can
+compile.
 """
 
 from __future__ import annotations
