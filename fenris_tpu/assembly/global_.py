@@ -103,19 +103,27 @@ def _expand_pattern(pn: CsrPattern, cells: np.ndarray, s: int) -> CsrPattern:
 
     # scatter positions: node entry at position p in row i expands to
     # pos(c, cc) = s^2*rpn[i] + c*s*cn[i] + (p - rpn[i])*s + cc
-    rpn_i = rpn[cells]  # [E, n]
-    cn_i = cn[cells]
-    A = pn.scatter_indices.astype(np.int64)  # [E, n, n]
-    core = s * A + (s * (s - 1)) * rpn_i[:, :, None]  # [E, n, n]
-    c_idx = np.arange(s, dtype=np.int64)
-    out = (
-        core[:, :, None, :, None]
-        + (s * cn_i)[:, :, None, None, None] * c_idx[None, None, :, None, None]
-        + c_idx[None, None, None, None, :]
-    )
+    # Chunked over elements and written directly into the int32 output: the
+    # one-shot broadcast materialized an int64 [E, n, s, n, s] transient
+    # (~4.6 GB at 1M hex8, s=3), which OOMs the single-core host at exactly
+    # the scale the lazy-pattern path targets.
     E, n = cells.shape
-    scatter = out.astype(np.int32).reshape(E, n * s, n * s)
-    del core, out, A
+    c_idx = np.arange(s, dtype=np.int64)
+    scatter = np.empty((E, n, s, n, s), dtype=np.int32)
+    chunk = max(1, (1 << 24) // max(n * n * s * s, 1))  # ~tens of MB per chunk
+    for e0 in range(0, E, chunk):
+        e1 = min(e0 + chunk, E)
+        cells_c = cells[e0:e1]
+        rpn_i = rpn[cells_c]  # [c, n]
+        cn_i = cn[cells_c]
+        A = pn.scatter_indices[e0:e1].astype(np.int64)  # [c, n, n]
+        core = s * A + (s * (s - 1)) * rpn_i[:, :, None]  # [c, n, n]
+        scatter[e0:e1] = (
+            core[:, :, None, :, None]
+            + (s * cn_i)[:, :, None, None, None] * c_idx[None, None, :, None, None]
+            + c_idx[None, None, None, None, :]
+        ).astype(np.int32)
+    scatter = scatter.reshape(E, n * s, n * s)
 
     off_n = pn.diag_positions - rpn[:N]
     diag = (

@@ -202,34 +202,45 @@ def _gradients_and_ugrad(X_geo, u_el, tab: Tabulation):
     return gp, G, detJ
 
 
-def _eval_pointwise(fn, G, params):
-    """vmap a pointwise function of (G[d, s], params) over [E, q]."""
-    f = fn
-    for axis in (0, 0):  # vmap over q then E (params broadcast if not batched)
-        f = jax.vmap(f, in_axes=(0, _params_axes(params)))
-    return f(G, params)
+def _vmap2(fn, params, E: int, q: int):
+    """Map ``fn(G, params)`` over the two leading [E, q] axes of G.
 
+    Parameter-leaf convention (keyed on explicit shape matches, so a wrong
+    layout fails loudly inside the operator instead of silently broadcasting
+    over the wrong axis):
 
-def _params_axes(params):
-    # Parameters may be None (no params), a pytree of per-(E, q) arrays, or
-    # scalars.  We broadcast scalars by mapping axis None.
+    * scalar / 0-d -> broadcast everywhere;
+    * leading dim == E -> per-element (axis 0 at the element level), and if
+      the next dim == q additionally per-quadrature-point;
+    * leading dim == q (and != E) -> per-quadrature-point, uniform over
+      elements (the reference's ``UniformQuadratureTable`` data payload);
+    * anything else -> broadcast as a constant.
+
+    When E == q the per-element interpretation wins (documented ambiguity;
+    disambiguate by adding an explicit q axis).
+    """
+    def leaf_axes(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return None, None
+        if x.shape[0] == E:
+            inner = 0 if (x.ndim >= 2 and x.shape[1] == q) else None
+            return 0, inner
+        if x.shape[0] == q:
+            return None, 0
+        return None, None
+
     if params is None:
-        return None
-    return jax.tree_util.tree_map(lambda x: 0 if (hasattr(x, "ndim") and x.ndim >= 2) else None, params)
-
-
-def _vmap2(fn, params):
-    """Map fn(G, params) over two leading axes of G (and params if batched)."""
-    ax = _params_axes(params)
-    inner = jax.vmap(fn, in_axes=(0, _strip_axis(ax)))
-    outer = jax.vmap(inner, in_axes=(0, ax))
+        outer_ax = inner_ax = None
+    else:
+        axes = jax.tree_util.tree_map(leaf_axes, params)
+        is_pair = lambda t: isinstance(t, tuple) and len(t) == 2 and all(
+            a is None or a == 0 for a in t
+        )
+        outer_ax = jax.tree_util.tree_map(lambda t: t[0], axes, is_leaf=is_pair)
+        inner_ax = jax.tree_util.tree_map(lambda t: t[1], axes, is_leaf=is_pair)
+    inner = jax.vmap(fn, in_axes=(0, inner_ax))
+    outer = jax.vmap(inner, in_axes=(0, outer_ax))
     return outer
-
-
-def _strip_axis(ax):
-    return jax.tree_util.tree_map(
-        lambda a: 0 if a == 0 else None, ax, is_leaf=lambda x: x is None
-    ) if ax is not None else None
 
 
 def compute_element_elliptic_energy(X_geo, u_el, op, params, tab: Tabulation):
@@ -238,7 +249,9 @@ def compute_element_elliptic_energy(X_geo, u_el, op, params, tab: Tabulation):
     Returns per-element energies ``[E]`` (sum for the global scalar).
     """
     _, G, detJ = _gradients_and_ugrad(X_geo, u_el, tab)
-    psi = _vmap2(lambda Gp, p: op.energy(Gp, p), params)(G, params)  # [E, q]
+    psi = _vmap2(
+        lambda Gp, p: op.energy(Gp, p), params, X_geo.shape[0], tab.num_points
+    )(G, params)  # [E, q]
     wdet = _wdet(tab, detJ, X_geo.dtype)
     return _einsum("eq,eq->e", wdet, psi)
 
@@ -250,7 +263,9 @@ def assemble_element_elliptic_vectors(X_geo, u_el, op, params, tab: Tabulation):
     reference's reshape semantics and BC indexing).
     """
     gp, G, detJ = _gradients_and_ugrad(X_geo, u_el, tab)
-    gvals = _vmap2(lambda Gp, p: op.g(Gp, p), params)(G, params)  # [E, q, d, s]
+    gvals = _vmap2(
+        lambda Gp, p: op.g(Gp, p), params, X_geo.shape[0], tab.num_points
+    )(G, params)  # [E, q, d, s]
     wdet = _wdet(tab, detJ, X_geo.dtype)
     f = _einsum("eq,eqds,eqnd->ens", wdet, gvals, gp)
     E, n = f.shape[0], f.shape[1]
@@ -269,7 +284,9 @@ def assemble_element_elliptic_matrices(X_geo, u_el, op, params, tab: Tabulation)
         E, q = gp.shape[0], gp.shape[1]
         d = gp.shape[-1]
         G = jnp.zeros((E, q, d, s), dtype=gp.dtype)
-    D = _vmap2(lambda Gp, p: op.contraction(Gp, p), params)(G, params)
+    D = _vmap2(
+        lambda Gp, p: op.contraction(Gp, p), params, X_geo.shape[0], tab.num_points
+    )(G, params)
     # D: [E, q, d, s, d, s]
     wdet = _wdet(tab, detJ, X_geo.dtype)
     # Two-step contraction: the tiny m-contraction first, then one
@@ -331,7 +348,9 @@ def assemble_element_source_vectors(
     _, detJ = inv_and_det(J)
     wdet = _wdet(tab, detJ, dtype)
     x = _einsum("qm,emd->eqd", gphi, X_geo)  # [E, q, d_space]
-    fvals = _vmap2(lambda xp, p: jnp.atleast_1d(source(xp, p)), params)(x, params)
+    fvals = _vmap2(
+        lambda xp, p: jnp.atleast_1d(source(xp, p)), params, X_geo.shape[0], tab.num_points
+    )(x, params)
     # fvals: [E, q, s]
     b = _einsum("eq,eqs,qn->ens", wdet, fvals, phi)
     E, n = b.shape[0], b.shape[1]
@@ -358,7 +377,9 @@ def assemble_element_surface_source_vectors(
     J = jacobians(X_geo, gdphi)
     wvol = w[None, :] * volume_form(J)
     x = _einsum("qm,emd->eqd", gphi, X_geo)
-    fvals = _vmap2(lambda xp, p: jnp.atleast_1d(source(xp, p)), params)(x, params)
+    fvals = _vmap2(
+        lambda xp, p: jnp.atleast_1d(source(xp, p)), params, X_geo.shape[0], tab.num_points
+    )(x, params)
     b = _einsum("eq,eqs,qn->ens", wvol, fvals, phi)
     E, n = b.shape[0], b.shape[1]
     return b.reshape(E, n * solution_dim)

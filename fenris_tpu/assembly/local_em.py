@@ -41,24 +41,55 @@ __all__ = [
     "assemble_element_elliptic_vectors_em",
     "compute_element_elliptic_energy_em",
     "elliptic_matrix_diagonal_em",
+    "params_to_element_minor",
 ]
 
 
-def _params_axis(params):
+def params_to_element_minor(params, E: int):
+    """Move a leading per-element axis of each leaf to the end.
+
+    Converts standard-layout per-element params (``[E, ...]``, as accepted
+    by :mod:`.local`) to this module's element-minor convention; leaves
+    without a leading ``E`` axis (scalars, constants, already-1-D ``[E]``)
+    pass through unchanged.
+    """
     if params is None:
         return None
     return jax.tree_util.tree_map(
-        lambda x: -1 if (hasattr(x, "ndim") and x.ndim >= 1) else None, params
+        lambda x: jnp.moveaxis(x, 0, -1)
+        if (hasattr(x, "ndim") and x.ndim >= 2 and x.shape[0] == E)
+        else x,
+        params,
     )
 
 
-def _pointwise_map(fn, params, nbatch):
+def _params_axis(params, E: int):
+    """Per-leaf vmap axis, keyed on an explicit element-count match.
+
+    Element-minor convention: a leaf whose *last* dim equals ``E`` is
+    per-element (mapped at axis -1, e.g. ``[E]`` scalars or ``[k, E]``
+    vectors); anything else broadcasts as a constant.  Per-quadrature-point
+    payloads are not supported on this path — an ``[E, q]`` standard-layout
+    leaf therefore reaches the operator unmapped and fails loudly with a
+    shape error (transpose per-element leaves to element-minor instead).
+    """
+    if params is None:
+        return None
+    return jax.tree_util.tree_map(
+        lambda x: -1
+        if (hasattr(x, "ndim") and x.ndim >= 1 and x.shape[-1] == E)
+        else None,
+        params,
+    )
+
+
+def _pointwise_map(fn, params, nbatch, E: int):
     """vmap ``fn(G, params)`` over ``nbatch`` trailing batch axes of G.
 
     Inner layers broadcast scalar params (axis None); only the outermost
-    batch axis maps per-element params.
+    batch axis (the element axis ``E``) maps per-element params.
     """
-    p_ax = _params_axis(params)
+    p_ax = _params_axis(params, E)
     out = fn
     for i in range(nbatch):
         ax = p_ax if i == nbatch - 1 else None
@@ -187,7 +218,9 @@ def elliptic_vector_qp(X_em, u_em, op, params, gd_q, dphi_q, w_q):
     m, d = X_em.shape[0], X_em.shape[1]
     n, s = u_em.shape[0], u_em.shape[1]
     X = [[X_em[mm, dd] for dd in range(d)] for mm in range(m)]
-    gfun = _pointwise_map(lambda GG, p: op.g(GG, p), params, _nbatch(X_em))
+    gfun = _pointwise_map(
+        lambda GG, p: op.g(GG, p), params, _nbatch(X_em), X_em.shape[-1]
+    )
     gp, wdet = _qp_geometry(X, gd_q, dphi_q, w_q, d, m, n)
     Gq = _u_grad(gp, u_em, n, d, s)
     gv = gfun(Gq, params)  # [d, s, *batch]
@@ -224,7 +257,9 @@ def compute_element_elliptic_energy_em(X_em, u_em, op, params, tab: Tabulation):
     """Per-element energies ``[E]`` (elliptic.rs:551)."""
     m, d, n, s = _shapes(X_em, tab, op)
     X = [[X_em[mm, dd] for dd in range(d)] for mm in range(m)]
-    efun = _pointwise_map(lambda GG, p: op.energy(GG, p), params, _nbatch(X_em))
+    efun = _pointwise_map(
+        lambda GG, p: op.energy(GG, p), params, _nbatch(X_em), X_em.shape[-1]
+    )
 
     def qp(carry, gd_q, dphi_q, w_q):
         gp, wdet = _qp_geometry(X, gd_q, dphi_q, w_q, d, m, n)
@@ -244,7 +279,7 @@ def elliptic_matrix_diagonal_em(X_em, u_em, op, params, tab: Tabulation):
     m, d, n, s = _shapes(X_em, tab, op)
     X = [[X_em[mm, dd] for dd in range(d)] for mm in range(m)]
     dfun = _pointwise_map(
-        lambda GG, p: op.contraction(GG, p), params, _nbatch(X_em)
+        lambda GG, p: op.contraction(GG, p), params, _nbatch(X_em), X_em.shape[-1]
     )
 
     def qp(carry, gd_q, dphi_q, w_q):

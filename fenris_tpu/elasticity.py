@@ -127,6 +127,12 @@ class HyperelasticModel:
         def pad_leaf(x):
             x = np.asarray(x)
             if x.ndim >= 1 and x.shape[0] == E:
+                if x.ndim >= 2 and x.shape[1] == self.tab.num_points:
+                    raise ValueError(
+                        "per-quadrature-point parameter leaves ([E, q, ...]) "
+                        "are not supported on the banded path; use "
+                        "banded=False or per-element ([E] / [E, k]) params"
+                    )
                 return jnp.asarray(plan.pad_elements(x))
             return x
 
@@ -223,7 +229,7 @@ class HyperelasticModel:
                         jnp.transpose(Xc, (1, 2, 0)),
                         jnp.transpose(uc, (1, 2, 0)),
                         self.operator,
-                        pc,
+                        LE.params_to_element_minor(pc, uc.shape[0]),
                         self.tab,
                     ),
                     (2, 0, 1),
@@ -290,7 +296,7 @@ class HyperelasticModel:
                     jnp.transpose(Xc, (1, 2, 0)),
                     jnp.transpose(uc, (1, 2, 0)),
                     self.operator,
-                    pc,
+                    LE.params_to_element_minor(pc, uc.shape[0]),
                     self.tab,
                 )[:, None],
                 1,
@@ -358,7 +364,7 @@ class HyperelasticModel:
                         jnp.transpose(Xc, (1, 2, 0)),
                         jnp.transpose(uc, (1, 2, 0)),
                         self.operator,
-                        pc,
+                        LE.params_to_element_minor(pc, uc.shape[0]),
                         self.tab,
                     ),
                     (2, 0, 1),

@@ -1,6 +1,7 @@
 """Shared MMS convergence harness (mirrors poisson_mms_common.rs)."""
 
 import json
+import os
 from pathlib import Path
 
 import jax.numpy as jnp
@@ -70,6 +71,17 @@ def run_mms(element_name, resolutions, mesh_producer, rule, error_rule, dim):
         summary["resolutions"].append(float(mesh.diameters().max()))
         summary["L2_errors"].append(result.l2_error)
         summary["H1_seminorm_errors"].append(result.h1_seminorm_error)
+    # Committed-evidence hook: FENRIS_TPU_CONVERGENCE_ARTIFACTS=<dir> dumps
+    # each run's summary (the reference persists them the same way,
+    # poisson_mms_common.rs:296-299) so a full-resolution pass is checkable
+    # without a rerun.
+    art_dir = os.environ.get("FENRIS_TPU_CONVERGENCE_ARTIFACTS")
+    if art_dir:
+        Path(art_dir).mkdir(parents=True, exist_ok=True)
+        name = summary["element_name"]
+        dim = "2d" if dim == 2 else "3d"
+        with open(Path(art_dir) / f"poisson{dim}_mms_{name}_summary.json", "w") as f:
+            json.dump(summary, f, indent=1)
     return summary
 
 

@@ -175,6 +175,66 @@ def test_hyperelastic_model_banded_agreement():
     assert float(r.residual_norm) < 1e-9
 
 
+def test_banded_agreement_per_element_params():
+    """banded=True == banded=False with per-element [E] material params.
+
+    Guards the params-axis convention: both paths must map an [E] leaf over
+    the element axis (assembly/local.py `_vmap2` keyed on shape[0] == E,
+    local_em.py `_params_axis` keyed on shape[-1] == E).
+    """
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+
+    mesh = create_unit_box_uniform_hex_mesh_3d(6)
+    rng = np.random.default_rng(7)
+    mu_el = jnp.asarray(300.0 + 200.0 * rng.random(mesh.num_cells))
+    kw = dict(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=mu_el, lam=577.0),
+        dirichlet_nodes=np.arange(49),
+    )
+    m0 = HyperelasticModel(**kw)
+    m1 = HyperelasticModel(**kw, banded=True, banded_r_nodes=1024, chunk_size=64)
+    u = jnp.asarray(rng.standard_normal(m0.space.num_dofs) * 0.01)
+    v = jnp.asarray(rng.standard_normal(m0.space.num_dofs))
+    np.testing.assert_allclose(float(m0.energy(u)), float(m1.energy(u)), rtol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(m0.residual(u)), np.asarray(m1.residual(u)), rtol=0, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(m0.hessian_vector_product(u, v)),
+        np.asarray(m1.hessian_vector_product(u, v)),
+        rtol=0,
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m0.hessian_diagonal(u)),
+        np.asarray(m1.hessian_diagonal(u)),
+        rtol=1e-12,
+    )
+
+
+def test_banded_rejects_per_qp_params():
+    """[E, q] per-point payloads fail loudly on the banded path."""
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.quadrature.canonical import canonical_stiffness
+    from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+
+    mesh = create_unit_box_uniform_hex_mesh_3d(3)
+    q = len(canonical_stiffness(mesh.element).weights)
+    mu_eq = jnp.full((mesh.num_cells, q), 384.0)
+    with pytest.raises(ValueError, match="per-quadrature-point"):
+        HyperelasticModel(
+            mesh=mesh,
+            material=NeoHookeanMaterial(),
+            params=LameParameters(mu=mu_eq, lam=577.0),
+            dirichlet_nodes=np.arange(16),
+            banded=True,
+            banded_r_nodes=1024,
+        )
+
+
 @pytest.mark.parametrize("target", ["tet10", "hex20"])
 def test_banded_higher_order_elements(target):
     """Subparametric tet10/hex20 through the banded path match the default."""
