@@ -2,9 +2,11 @@
 
 Parity: fenris-geometry — ``AxisAlignedBoundingBox`` with distance/closest
 point queries (lib.rs:87,:264-330), orientation tests (:355), primitive
-shapes (src/primitives/), the SDF trait + ``BoundedSdf`` (sdf.rs), and a
-general polytopal ``PolyMesh`` with half-space intersection
-(polymesh.rs:66,:564-576) powering the procedural sphere generator.
+shapes (src/primitives/ — extended queries in :mod:`.primitives`), polygons
+(:mod:`.polygon` — polygon.rs + polytope.rs), the SDF trait + ``BoundedSdf``
+(sdf.rs), and a general polytopal ``PolyMesh`` with topological half-space
+intersection (:mod:`.polymesh` — polymesh.rs:66,:564-576) powering the
+procedural sphere generator.
 
 Host-side vectorized numpy (geometry setup is not a device hot path);
 SDF evaluators are additionally jax-compatible where noted.
@@ -16,6 +18,18 @@ from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+
+from .polymesh import PolyMesh
+from .polygon import ClosestEdge, ConvexPolygon, SimplePolygon2d, SimplePolygon3d
+from .primitives import (
+    Disk,
+    HalfPlane,
+    Line,
+    compute_winding_number_for_triangles_3d,
+    segment_segment_closest,
+    tetrahedron_closest_point,
+    triangle_closest_point,
+)
 
 __all__ = [
     "Aabb",
@@ -31,6 +45,19 @@ __all__ = [
     "orient3d",
     "PolyMesh",
     "convex_polygon_clip_halfplane",
+    # primitives (fenris-geometry/src/primitives/)
+    "Line",
+    "HalfPlane",
+    "Disk",
+    "segment_segment_closest",
+    "triangle_closest_point",
+    "tetrahedron_closest_point",
+    "compute_winding_number_for_triangles_3d",
+    # polygons (polygon.rs, polytope.rs)
+    "ClosestEdge",
+    "SimplePolygon2d",
+    "SimplePolygon3d",
+    "ConvexPolygon",
 ]
 
 
@@ -221,6 +248,8 @@ class SdfUnion:
 
 @dataclass(frozen=True)
 class LineSegment:
+    """Segment [a, b] (line.rs:49); supports 2D and 3D queries."""
+
     a: np.ndarray
     b: np.ndarray
 
@@ -228,11 +257,101 @@ class LineSegment:
     def midpoint(self):
         return (np.asarray(self.a) + np.asarray(self.b)) / 2.0
 
+    @property
+    def length(self) -> float:
+        return float(np.linalg.norm(np.asarray(self.b) - np.asarray(self.a)))
+
+    def reverse(self) -> "LineSegment":
+        return LineSegment(self.b, self.a)
+
+    def to_line(self) -> "Line":
+        a = np.asarray(self.a, dtype=np.float64)
+        return Line(a, np.asarray(self.b, dtype=np.float64) - a)
+
+    def tangent_dir(self) -> np.ndarray:
+        d = np.asarray(self.b, dtype=np.float64) - np.asarray(self.a)
+        return d / np.linalg.norm(d)
+
+    def normal_dir(self) -> np.ndarray:
+        """2D edge normal (t_y, -t_x): outward for CCW loops (line.rs:142)."""
+        t = self.tangent_dir()
+        return np.array([t[1], -t[0]])
+
+    def point_from_parameter(self, t: float) -> np.ndarray:
+        a = np.asarray(self.a, dtype=np.float64)
+        return a + t * (np.asarray(self.b, dtype=np.float64) - a)
+
+    def closest_point_parametric(self, point) -> float:
+        """Clamped projection parameter in [0, 1] (line.rs:115)."""
+        a, b = np.asarray(self.a, dtype=np.float64), np.asarray(self.b, dtype=np.float64)
+        ab = b - a
+        denom = float(ab @ ab)
+        if denom == 0.0:
+            return 0.0
+        return float(np.clip((np.asarray(point) - a) @ ab / denom, 0.0, 1.0))
+
     def closest_point(self, points):
         a, b = np.asarray(self.a), np.asarray(self.b)
         ab = b - a
         t = np.clip(((np.asarray(points) - a) @ ab) / (ab @ ab), 0.0, 1.0)
         return a + t[..., None] * ab
+
+    def distance(self, point) -> float:
+        p = np.asarray(point, dtype=np.float64)
+        return float(np.linalg.norm(p - self.point_from_parameter(self.closest_point_parametric(p))))
+
+    def closest_segment(self, other: "LineSegment"):
+        """Closest pair of points vs another segment -> (s, t, c1, c2)."""
+        return segment_segment_closest(self.a, self.b, other.a, other.b)
+
+    def intersect_segment_parametric(self, other: "LineSegment", tol: float = 1e-12):
+        """Parameter t on self where the two 2D segments intersect, or None
+        (line.rs:178)."""
+        ts = self.to_line().intersect_line_parametric(other.to_line())
+        if ts is None:
+            return None
+        t1, t2 = ts
+        if -tol <= t1 <= 1.0 + tol and -tol <= t2 <= 1.0 + tol:
+            return t1
+        return None
+
+    def intersect_half_plane_parametric(self, half: "HalfPlane"):
+        """Sub-interval [t0, t1] of the segment inside the half-plane, or
+        None (line.rs:217)."""
+        da = float(half.signed_distance(np.asarray(self.a, dtype=np.float64)))
+        db = float(half.signed_distance(np.asarray(self.b, dtype=np.float64)))
+        if da > 0 and db > 0:
+            return None
+        if da <= 0 and db <= 0:
+            return 0.0, 1.0
+        t = da / (da - db)
+        return (0.0, t) if da <= 0 else (t, 1.0)
+
+    def intersect_half_plane(self, half: "HalfPlane") -> Optional["LineSegment"]:
+        ts = self.intersect_half_plane_parametric(half)
+        if ts is None:
+            return None
+        return LineSegment(self.point_from_parameter(ts[0]), self.point_from_parameter(ts[1]))
+
+    def intersect_plane_parametric(self, plane: "Plane"):
+        """t where the 3D segment crosses the plane, or None (line.rs:268)."""
+        t = self.to_line().intersect_plane_parametric(plane)
+        if t is None or not (0.0 <= t <= 1.0):
+            return None
+        return t
+
+    def closest_point_to_plane(self, plane: "Plane") -> np.ndarray:
+        """Closest point on the segment to a plane (line.rs:42): the
+        intersection if it crosses, else the nearer endpoint."""
+        t = self.to_line().intersect_plane_parametric(plane)
+        if t is not None:
+            return self.point_from_parameter(float(np.clip(t, 0.0, 1.0)))
+        a = np.asarray(self.a, dtype=np.float64)
+        b = np.asarray(self.b, dtype=np.float64)
+        n = np.asarray(plane.normal)
+        da = abs((a - plane.point) @ n)
+        db = abs((b - plane.point) @ n)
+        return a if da <= db else b
 
 
 @dataclass(frozen=True)
@@ -254,6 +373,24 @@ class Triangle:
     def centroid(self) -> np.ndarray:
         return np.asarray(self.vertices).mean(axis=0)
 
+    def edge(self, i: int) -> "LineSegment":
+        v = np.asarray(self.vertices)
+        return LineSegment(v[i], v[(i + 1) % 3])
+
+    def closest_point(self, point):
+        """Voronoi-region closest point -> (point, region) (triangle.rs)."""
+        return triangle_closest_point(self.vertices, point)
+
+    def distance(self, point) -> float:
+        cp, _ = triangle_closest_point(self.vertices, point)
+        return float(np.linalg.norm(np.asarray(point, dtype=np.float64) - cp))
+
+    def solid_angle(self, point) -> float:
+        """Signed solid angle subtended at ``point`` (triangle.rs:271)."""
+        return 4.0 * np.pi * compute_winding_number_for_triangles_3d(
+            [self.vertices], point
+        )
+
 
 @dataclass(frozen=True)
 class Tetrahedron:
@@ -268,6 +405,34 @@ class Tetrahedron:
 
     def centroid(self) -> np.ndarray:
         return np.asarray(self.vertices).mean(axis=0)
+
+    @staticmethod
+    def reference() -> "Tetrahedron":
+        """The [-1,1]-based reference tet (tetrahedron.rs:39)."""
+        return Tetrahedron(
+            np.array(
+                [
+                    [-1.0, -1.0, -1.0],
+                    [1.0, -1.0, -1.0],
+                    [-1.0, 1.0, -1.0],
+                    [-1.0, -1.0, 1.0],
+                ]
+            )
+        )
+
+    def contains_point(self, point) -> bool:
+        _, inside = tetrahedron_closest_point(self.vertices, point)
+        return inside
+
+    def closest_point(self, point):
+        """(closest, inside) via face queries (tetrahedron.rs:616)."""
+        return tetrahedron_closest_point(self.vertices, point)
+
+    def distance(self, point) -> float:
+        cp, inside = tetrahedron_closest_point(self.vertices, point)
+        if inside:
+            return 0.0
+        return float(np.linalg.norm(np.asarray(point, dtype=np.float64) - cp))
 
 
 # ---------------------------------------------------------------------------
@@ -293,173 +458,3 @@ def convex_polygon_clip_halfplane(vertices: np.ndarray, half: HalfSpace) -> np.n
     return np.asarray(out) if out else np.zeros((0, v.shape[1]))
 
 
-@dataclass
-class PolyMesh:
-    """General polytopal mesh: vertices + faces + cells (polymesh.rs:66).
-
-    Faces are vertex-index lists; cells are face-index lists.  Supports
-    half-space intersection (each convex cell clipped; polymesh.rs:564-576),
-    volume computation (:555) and triangulation (:337).
-    """
-
-    vertices: np.ndarray  # [N, 3]
-    faces: List[List[int]]
-    cells: List[List[int]]
-
-    @staticmethod
-    def from_hex_mesh(mesh) -> "PolyMesh":
-        """Convert a hex8 Mesh into a PolyMesh (one cell per hex)."""
-        from .reference_elements import ELEMENTS
-
-        assert mesh.element.name == "hex8"
-        faces: List[List[int]] = []
-        cells: List[List[int]] = []
-        face_map = {}
-        for cell in mesh.cells:
-            cfaces = []
-            for local in ELEMENTS["hex8"].faces:
-                fv = tuple(int(cell[i]) for i in local)
-                key = tuple(sorted(fv))
-                if key not in face_map:
-                    face_map[key] = len(faces)
-                    faces.append(list(fv))
-                cfaces.append(face_map[key])
-            cells.append(cfaces)
-        return PolyMesh(np.asarray(mesh.points, dtype=np.float64), faces, cells)
-
-    def translate(self, offset) -> "PolyMesh":
-        return PolyMesh(self.vertices + np.asarray(offset), self.faces, self.cells)
-
-    def cell_vertex_sets(self) -> List[np.ndarray]:
-        out = []
-        for cfaces in self.cells:
-            idx = sorted({v for f in cfaces for v in self.faces[f]})
-            out.append(np.asarray(idx))
-        return out
-
-    def volume(self) -> float:
-        """Total volume via divergence theorem over (outward) cell faces."""
-        total = 0.0
-        for cfaces in self.cells:
-            vol = 0.0
-            # compute centroid of the cell for orientation-free accumulation
-            vs = sorted({v for f in cfaces for v in self.faces[f]})
-            c = self.vertices[vs].mean(axis=0)
-            for f in cfaces:
-                poly = self.vertices[self.faces[f]]
-                for k in range(1, len(poly) - 1):
-                    tet = np.stack([poly[0], poly[k], poly[k + 1], c])
-                    vol += abs(
-                        np.linalg.det(
-                            np.stack([tet[1] - tet[0], tet[2] - tet[0], tet[3] - tet[0]])
-                        )
-                        / 6.0
-                    )
-            total += vol
-        return total
-
-    def triangulate(self):
-        """Tetrahedralize each (convex) cell by fanning from its centroid
-        (polymesh.rs:337).  Returns a tet4 :class:`~fenris_tpu.mesh.Mesh`."""
-        from .mesh import Mesh
-        from .reference_elements import ELEMENTS
-
-        verts: List[np.ndarray] = [v for v in self.vertices]
-        tets: List[List[int]] = []
-        for cfaces in self.cells:
-            vs = sorted({v for f in cfaces for v in self.faces[f]})
-            centroid = self.vertices[vs].mean(axis=0)
-            ci = len(verts)
-            verts.append(centroid)
-            for f in cfaces:
-                face = self.faces[f]
-                fc = self.vertices[face].mean(axis=0)
-                fi = len(verts)
-                verts.append(fc)
-                n = len(face)
-                for k in range(n):
-                    a, b = face[k], face[(k + 1) % n]
-                    tet = [a, b, fi, ci]
-                    # orient positively
-                    v0, v1, v2, v3 = (np.asarray(verts[i]) for i in tet)
-                    if np.linalg.det(np.stack([v1 - v0, v2 - v0, v3 - v0])) < 0:
-                        tet = [b, a, fi, ci]
-                    tets.append(tet)
-        return Mesh(np.asarray(verts), np.asarray(tets, dtype=np.int32), ELEMENTS["tet4"])
-
-    def export_vtu(self, path) -> None:
-        """Export as VTK polyhedral-ish data: triangulated tet mesh
-        (fenris-geometry/src/vtkio.rs equivalent)."""
-        from .io.vtk import write_vtu
-
-        write_vtu(path, self.triangulate())
-
-    def intersect_half_space(self, half: HalfSpace) -> "PolyMesh":
-        """Clip every (convex) cell against a half-space (polymesh.rs:564).
-
-        Cells are re-derived per cell via vertex-based convex clipping:
-        each convex cell is represented by its vertex set; the clipped cell
-        is the convex hull of kept vertices + edge intersections + the
-        face polygon cut.  For axis-behaved inputs (boxes, repeated clips
-        producing convex cells) this reproduces the reference's behavior.
-        """
-        new_vertices: List[np.ndarray] = []
-        new_faces: List[List[int]] = []
-        new_cells: List[List[int]] = []
-
-        def add_vertex(v):
-            new_vertices.append(v)
-            return len(new_vertices) - 1
-
-        for cfaces in self.cells:
-            # collect cell's faces as polygons, clip each, and build the cut face
-            polys = []
-            cut_points: List[np.ndarray] = []
-            for f in cfaces:
-                poly = self.vertices[self.faces[f]]
-                clipped = convex_polygon_clip_halfplane(poly, half)
-                if len(clipped) >= 3:
-                    polys.append(clipped)
-                d = half.signed_distance(poly)
-                n = len(poly)
-                for i in range(n):
-                    j = (i + 1) % n
-                    if (d[i] <= 0) != (d[j] <= 0):
-                        t = d[i] / (d[i] - d[j])
-                        cut_points.append(poly[i] + t * (poly[j] - poly[i]))
-            if not polys:
-                continue
-            # cut face: order intersection points around their centroid
-            if len(cut_points) >= 3:
-                pts = np.asarray(cut_points)
-                # deduplicate
-                uniq = []
-                for p in pts:
-                    if not any(np.linalg.norm(p - q) < 1e-12 for q in uniq):
-                        uniq.append(p)
-                if len(uniq) >= 3:
-                    pts = np.asarray(uniq)
-                    c = pts.mean(axis=0)
-                    nrm = half.normal
-                    # build orthonormal frame in the cut plane
-                    a = np.eye(3)[np.argmin(np.abs(nrm))]
-                    t1 = np.cross(nrm, a)
-                    t1 /= np.linalg.norm(t1)
-                    t2 = np.cross(nrm, t1)
-                    ang = np.arctan2((pts - c) @ t2, (pts - c) @ t1)
-                    polys.append(pts[np.argsort(ang)])
-            cell_face_ids = []
-            for poly in polys:
-                ids = [add_vertex(p) for p in poly]
-                new_faces.append(ids)
-                cell_face_ids.append(len(new_faces) - 1)
-            new_cells.append(cell_face_ids)
-
-        if not new_vertices:
-            return PolyMesh(np.zeros((0, 3)), [], [])
-        verts = np.asarray(new_vertices)
-        # global vertex dedup
-        rounded = np.round(verts / 1e-12) * 1e-12
-        uniq, inverse = np.unique(rounded, axis=0, return_inverse=True)
-        faces = [[int(inverse[i]) for i in f] for f in new_faces]
-        return PolyMesh(uniq, faces, new_cells)

@@ -262,3 +262,32 @@ def approximate_triangle_mesh_for_sdf_2d(sdf, max_cell_size: float) -> Mesh:
     keep = np.flatnonzero((phi[mesh.cells] <= 0.0).any(axis=1))
     mesh = mesh.keep_cells(keep)
     return _project_outside_vertices(mesh, sdf)
+
+
+def create_simple_stupid_sphere(center, radius: float, num_sweeps: int):
+    """Sphere-approximating PolyMesh by clipping a cube with tangent planes
+    (procedural.rs:405 ``create_simple_stupid_sphere``).
+
+    ``num_sweeps`` latitudinal x longitudinal tangent half-space clips of a
+    cube of side ``2 radius``; returns a
+    :class:`~fenris_tpu.geometry.PolyMesh`.
+    """
+    from ..geometry import HalfSpace, PolyMesh
+
+    assert num_sweeps > 0
+    mesh = create_rectangular_uniform_hex_mesh(2.0 * radius, 1, 1, 1, 1)
+    pm = PolyMesh.from_hex_mesh(mesh).translate([-radius, -radius, -radius])
+    for i in range(num_sweeps):
+        for j in range(num_sweeps):
+            theta = np.pi * i / num_sweeps
+            phi = 2.0 * np.pi * j / num_sweeps
+            x = radius * np.array(
+                [
+                    np.sin(theta) * np.cos(phi),
+                    np.sin(theta) * np.sin(phi),
+                    np.cos(theta),
+                ]
+            )
+            # tangent plane at x, outward normal -> keep the inside
+            pm = pm.intersect_half_space(HalfSpace.from_point_and_normal(x, x))
+    return pm.translate(np.asarray(center, dtype=np.float64))

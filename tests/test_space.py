@@ -91,3 +91,134 @@ def test_fixed_interpolator_matches_direct(rng):
     interp2 = FixedInterpolator.from_space_and_points(mesh, jnp.asarray(pts), with_gradients=True)
     g = np.asarray(interp2.interpolate_gradient(u_lin))[:, :, 0]
     assert np.abs(g - np.array([1.0, -2.0, 0.5])).max() < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round 2: constrained closest-point projection + GridIndex safety
+# ---------------------------------------------------------------------------
+
+
+def test_closest_point_in_element_tet_voronoi(rng):
+    """Constrained projection matches the exact affine-tet oracle per
+    Voronoi region (tests/unit_tests/element/tetrahedron.rs:259-313)."""
+    from fenris_tpu.geometry import tetrahedron_closest_point
+    from fenris_tpu.space import closest_point_in_element
+
+    el = ELEMENTS["tet4"]
+    for _ in range(5):
+        X = el.nodes + rng.uniform(-0.15, 0.15, size=el.nodes.shape)
+        pts = rng.uniform(-3.0, 3.0, size=(40, 3))
+        xi, inside, dist = closest_point_in_element(
+            el, jnp.asarray(np.repeat(X[None], len(pts), 0)), jnp.asarray(pts)
+        )
+        phi, _ = el.tabulate(np.asarray(xi))
+        x_closest = np.einsum("qn,nd->qd", phi, X)
+        for k, p in enumerate(pts):
+            cp, is_in = tetrahedron_closest_point(X, p)
+            assert bool(inside[k]) == is_in
+            assert np.linalg.norm(x_closest[k] - cp) < 1e-8, (p, x_closest[k], cp)
+            assert abs(float(dist[k]) - np.linalg.norm(p - cp)) < 1e-8
+
+
+def test_closest_point_in_element_hex_sampling_oracle(rng):
+    """Trilinear hex closest point beats dense reference-domain sampling."""
+    from fenris_tpu.space import closest_point_in_element
+
+    el = ELEMENTS["hex8"]
+    X = el.nodes + rng.uniform(-0.2, 0.2, size=el.nodes.shape)
+    pts = rng.uniform(-3.0, 3.0, size=(20, 3))
+    _, inside, dist = closest_point_in_element(
+        el, jnp.asarray(np.repeat(X[None], len(pts), 0)), jnp.asarray(pts)
+    )
+    # dense sampling of the reference domain can only do worse
+    g = np.linspace(-1, 1, 13)
+    xis = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    phi, _ = el.tabulate(xis)
+    samples = phi @ X
+    for k, p in enumerate(pts):
+        d_samp = np.linalg.norm(samples - p, axis=1).min()
+        assert float(dist[k]) <= d_samp + 1e-9
+
+
+def test_project_physical_coordinates_unconstrained(rng):
+    """project_physical_coordinates == map_physical_coordinates inside
+    (element.rs:396 normal-equations Gauss-Newton)."""
+    from fenris_tpu.space import project_physical_coordinates
+
+    el = ELEMENTS["quad4"]
+    X = el.nodes + rng.uniform(-0.1, 0.1, size=el.nodes.shape)
+    xi_true = rng.uniform(-0.9, 0.9, size=(15, 2))
+    phi, _ = el.tabulate(xi_true)
+    x = phi @ X
+    xi = np.asarray(
+        project_physical_coordinates(
+            el, jnp.asarray(np.repeat(X[None], 15, 0)), jnp.asarray(x)
+        )
+    )
+    assert np.abs(xi - xi_true).max() < 1e-10
+
+
+def test_project_reference_domain_exact(rng):
+    from fenris_tpu.space import project_reference_domain, reference_domain_distance
+
+    for name in ("tri3", "tet4", "quad4", "hex8"):
+        el = ELEMENTS[name]
+        d = el.ref_dim
+        xi = jnp.asarray(rng.uniform(-3.0, 3.0, size=(200, d)))
+        p = project_reference_domain(el, xi)
+        # projection lands in the domain
+        assert float(reference_domain_distance(el, p).max()) < 1e-12
+        # projection is idempotent and no sampled domain point is closer
+        assert np.allclose(np.asarray(project_reference_domain(el, p)), np.asarray(p))
+        samples = rng.uniform(-1.0, 1.0, size=(500, d))
+        keep = np.asarray(reference_domain_distance(el, jnp.asarray(samples))) <= 0
+        samples = samples[keep]
+        d_proj = np.linalg.norm(np.asarray(p) - np.asarray(xi), axis=1)
+        for k in range(0, 200, 25):
+            d_samp = np.linalg.norm(samples - np.asarray(xi)[k], axis=1).min()
+            assert d_proj[k] <= d_samp + 1e-9
+
+
+def test_grid_index_empty_cells_safe(rng):
+    """A GridIndex over a sparse mesh must agree with the brute-force
+    oracle even for queries landing in empty grid cells."""
+    from fenris_tpu.space import GridIndex
+
+    mesh = procedural.create_unit_square_uniform_quad_mesh_2d(8)
+    # L-shaped domain: drop the upper-right quadrant
+    centers = mesh.cell_points().mean(axis=1)
+    keep = np.flatnonzero(~((centers[:, 0] > 0.5) & (centers[:, 1] > 0.5)))
+    mesh = mesh.keep_cells(keep)
+    index = GridIndex.build(mesh, avg_elements_per_cell=0.5)  # force many cells
+    assert (np.asarray(index.table) >= 0).any(axis=1).all(), "empty rows remain"
+    # queries inside the hole and far outside
+    pts = np.concatenate(
+        [
+            rng.uniform(0.6, 0.95, size=(15, 2)),  # in the hole
+            rng.uniform(-1.0, 2.0, size=(25, 2)),  # anywhere
+        ]
+    )
+    fast = find_closest_element(mesh, jnp.asarray(pts), index=index)
+    brute = find_closest_element(mesh, jnp.asarray(pts), num_candidates=mesh.num_cells)
+    # physical distances must agree (element ids may differ on exact ties)
+    np.testing.assert_allclose(
+        np.asarray(fast.domain_distance),
+        np.asarray(brute.domain_distance),
+        rtol=1e-8,
+        atol=1e-10,
+    )
+
+
+def test_find_closest_element_outside_matches_brute_force(rng):
+    """Outside-point queries: accelerated == brute force on a random mesh,
+    and values extrapolate at the true closest point."""
+    mesh = procedural.create_unit_box_uniform_tet_mesh_3d(3)
+    pts = rng.uniform(-0.5, 1.5, size=(40, 3))
+    res_k = find_closest_element(mesh, jnp.asarray(pts), num_candidates=12)
+    res_all = find_closest_element(mesh, jnp.asarray(pts), num_candidates=mesh.num_cells)
+    np.testing.assert_allclose(
+        np.asarray(res_k.domain_distance),
+        np.asarray(res_all.domain_distance),
+        rtol=1e-8,
+        atol=1e-10,
+    )
