@@ -50,6 +50,145 @@ def device_loop_time(step, x0, iters: int, reps: int = 3) -> float:
     return max((best - rtt) / iters, 1e-9)
 
 
+# TPU v5e public peak figures (the chip bench.py runs on); the f32 figure
+# assumes Precision.HIGHEST = 6 bf16 MXU passes per f32 multiply.
+V5E_HBM_GBPS = 819.0
+V5E_BF16_TFLOPS = 197.0
+V5E_F32_HIGHEST_TFLOPS = V5E_BF16_TFLOPS / 6.0
+
+
+def stiffness_roofline(name: str, q: int, n: int, m: int, s: int, d: int, rate: float):
+    """Roofline fraction for the element-stiffness kernel (BASELINE.md:45).
+
+    Analytic per-element model:
+      bytes  = 4 * (3 m [X read] + (n s)^2 [A write])          (f32)
+      flops  = 2 q n d^2 s^2  [T = D : grads]
+             + 2 q d (n s)^2  [A = grads^T T]                  (dominant einsums)
+    The kernel is bound by max(bytes / HBM_peak, flops / f32_peak); the
+    fraction is measured-rate / roofline-rate.
+    """
+    bytes_el = 4.0 * (3 * m + (n * s) ** 2)
+    flops_el = 2.0 * q * n * d * d * s * s + 2.0 * q * d * (n * s) ** 2
+    t_mem = bytes_el / (V5E_HBM_GBPS * 1e9)
+    t_flops = flops_el / (V5E_F32_HIGHEST_TFLOPS * 1e12)
+    t_roof = max(t_mem, t_flops)
+    return {
+        "case": name,
+        "assemblies_per_sec": round(rate, 1),
+        "roofline_per_sec": round(1.0 / t_roof, 1),
+        "roofline_fraction": round(rate * t_roof, 3),
+        "bound": "memory" if t_mem >= t_flops else "compute",
+        "model_bytes_per_el": int(bytes_el),
+        "model_flops_per_el": int(flops_el),
+    }
+
+
+def bench_element_stiffness_roofline():
+    """Hex20/Tet10 element stiffness rates vs the v5e roofline."""
+    import jax
+    import jax.numpy as jnp
+
+    from fenris_tpu.assembly import local as L
+    from fenris_tpu.fem import FemSpace
+    from fenris_tpu.mesh.convert import convert_mesh
+    from fenris_tpu.mesh.procedural import (
+        create_rectangular_uniform_tet_mesh,
+        create_unit_box_uniform_hex_mesh_3d,
+    )
+    from fenris_tpu.quadrature.canonical import canonical_stiffness
+    from fenris_tpu.solid import (
+        LameParameters,
+        LinearElasticMaterial,
+        MaterialEllipticOperator,
+    )
+
+    cases = [
+        ("hex20", convert_mesh(create_unit_box_uniform_hex_mesh_3d(28), "hex20")),
+        (
+            "tet10",
+            convert_mesh(create_rectangular_uniform_tet_mesh(1.0, 1, 1, 1, 18), "tet10"),
+        ),
+    ]
+    mop = MaterialEllipticOperator(LinearElasticMaterial(), dim=3)
+    params = LameParameters(mu=384.0, lam=577.0)
+    out = []
+    for name, mesh in cases:
+        space = FemSpace.create(mesh)
+        tab = L.tabulate(mesh.element, canonical_stiffness(mesh.element))
+        E = mesh.num_cells
+        n = mesh.element.num_nodes
+        u0 = jnp.zeros((E, n, 3), space.X_geo.dtype)
+
+        def step(Xg, u0=u0, tab=tab):
+            A = L.assemble_element_elliptic_matrices(Xg, u0, mop, params, tab)
+            # fold the output back into an X-shaped perturbation to chain
+            return Xg + 1e-30 * jnp.sum(A) * jnp.ones_like(Xg)
+
+        dt = device_loop_time(step, space.X_geo, 4)
+        out.append(
+            stiffness_roofline(
+                name, tab.num_points, n, mesh.element.geometry.num_nodes, 3, 3, E / dt
+            )
+        )
+    return out
+
+
+def bench_spmv(res: int = 69):
+    """Assembled-operator SpMV GB/s: CSR gather path vs block-ELL
+    (BASELINE.md:46; reference loop fenris-sparse/src/cg.rs:373-450).
+
+    Effective bandwidth counts the true operator traffic (values + column
+    metadata + x read + y write) regardless of layout, so the two numbers
+    are directly comparable.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+    from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+    from fenris_tpu.sparse import from_pattern, spmv
+    from fenris_tpu.sparse.block_ell import block_ell_from_csr
+
+    mesh = create_unit_box_uniform_hex_mesh_3d(res)
+    model = HyperelasticModel(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.614, lam=576.923),
+    )
+    from fenris_tpu.assembly import global_ as G
+
+    u = jnp.zeros(model.space.num_dofs, jnp.float32)
+    values = G.assemble_csr(model.assemble_hessian_matrices(u), model.space.pattern)
+    pattern = model.space.pattern
+    csr = from_pattern(pattern, values)
+    ell = block_ell_from_csr(pattern, values)
+    nnz = pattern.nnz
+    ndofs = pattern.num_rows
+    bytes_eff = 8.0 * nnz + 8.0 * ndofs  # values+colidx (4+4) + x read + y write
+
+    v0 = jnp.ones(ndofs, jnp.float32)
+
+    def csr_step(v):
+        return v + 1e-12 * spmv(csr, v)
+
+    def ell_step(v):
+        return v + 1e-12 * (ell @ v)
+
+    dt_csr = device_loop_time(csr_step, v0, 6)
+    dt_ell = device_loop_time(ell_step, v0, 10)
+    return {
+        "dofs": ndofs,
+        "nnz": nnz,
+        "csr_ms": round(dt_csr * 1e3, 3),
+        "csr_gbps": round(bytes_eff / dt_csr / 1e9, 2),
+        "block_ell_ms": round(dt_ell * 1e3, 3),
+        "block_ell_gbps": round(bytes_eff / dt_ell / 1e9, 2),
+        "block_ell_vs_csr": round(dt_csr / dt_ell, 2),
+        "hbm_fraction_ell": round(bytes_eff / dt_ell / 1e9 / V5E_HBM_GBPS, 3),
+    }
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -115,6 +254,15 @@ def main() -> None:
     except Exception as e:  # never let the secondary metric break the bench
         unstructured = {"error": f"{type(e).__name__}: {e}"}
 
+    try:
+        spmv_detail = bench_spmv()
+    except Exception as e:
+        spmv_detail = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        roofline_detail = bench_element_stiffness_roofline()
+    except Exception as e:
+        roofline_detail = {"error": f"{type(e).__name__}: {e}"}
+
     elps = E / dt_hvp
     print(
         json.dumps(
@@ -130,6 +278,8 @@ def main() -> None:
                     "residual_ms": round(dt_res * 1e3, 3),
                     "residual_elements_per_sec": round(E / dt_res, 1),
                     "unstructured_banded": unstructured,
+                    "spmv": spmv_detail,
+                    "element_stiffness_roofline": roofline_detail,
                     "baseline": "unstructured per-element gather/scatter path (reference-design translation), 1.3M el/s on this chip",
                     "device": str(jax.devices()[0]),
                 },

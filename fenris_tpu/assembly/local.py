@@ -318,10 +318,9 @@ def assemble_element_mass_matrices(X_geo, density, solution_dim: int, tab: Tabul
     _, detJ = inv_and_det(J)
     wdet = _wdet(tab, detJ, dtype)
     rho = jnp.asarray(density, dtype=dtype)
-    if rho.ndim == 0:
-        scale = wdet * rho
-    else:
-        scale = wdet * rho
+    if rho.ndim == 1 and rho.shape[0] == X_geo.shape[0]:
+        rho = rho[:, None]  # per-element density broadcast over points
+    scale = wdet * rho
     Mn = _einsum("eq,qn,qm->enm", scale, phi, phi)  # [E, n, n]
     if solution_dim == 1:
         return Mn

@@ -428,11 +428,17 @@ class HyperelasticModel:
         cg_rel_tolerance: float = 1e-6,
         cg_max_iter: int = 2000,
         line_search: bool = True,
+        preconditioner: Optional[Callable] = None,
     ) -> NewtonResult:
         """Newton-Krylov solve of ∇E(u) = 0 (fully jittable).
 
-        Inner solve: Jacobi-preconditioned CG on the matrix-free Hessian
-        action (inexact Newton; the CG tolerance is relative per iteration).
+        Inner solve: preconditioned CG on the matrix-free Hessian action
+        (inexact Newton; the CG tolerance is relative per iteration).
+        ``preconditioner``: optional u-independent ``r -> M^{-1} r``
+        callable (e.g. a
+        :class:`~fenris_tpu.multigrid.GeometricMGPreconditioner`); defaults
+        to assembled-diagonal Jacobi, the reference's choice
+        (poisson_mms_common.rs:142).
         """
         if u0 is None:
             u0 = jnp.zeros(self.space.num_dofs, dtype=self.space.X_geo.dtype)
@@ -442,16 +448,20 @@ class HyperelasticModel:
         use_lin = self.mesh.num_cells * self.tab.num_points <= 16_000_000
 
         def solve_jacobian(u, f):
-            inv_diag = 1.0 / self.hessian_diagonal(u)
             hvp = (
                 self.hessian_operator(u)
                 if use_lin
                 else (lambda v: self.hessian_vector_product(u, v))
             )
+            if preconditioner is None:
+                inv_diag = 1.0 / self.hessian_diagonal(u)
+                M = lambda v: inv_diag * v
+            else:
+                M = preconditioner
             res = conjugate_gradient(
                 hvp,
                 f,
-                preconditioner=lambda v: inv_diag * v,
+                preconditioner=M,
                 rel_tolerance=cg_rel_tolerance,
                 max_iter=cg_max_iter,
                 check_definiteness=False,
@@ -460,7 +470,13 @@ class HyperelasticModel:
 
         from .optimize import newton_cache
 
-        cache = newton_cache(self, cg_rel_tolerance, cg_max_iter, line_search)
+        cache = newton_cache(
+            self,
+            cg_rel_tolerance,
+            cg_max_iter,
+            line_search,
+            id(preconditioner) if preconditioner is not None else None,
+        )
         return newton_line_search(
             self.residual,
             solve_jacobian,

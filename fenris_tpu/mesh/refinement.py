@@ -14,7 +14,11 @@ import numpy as np
 from ..reference_elements import ELEMENTS
 from . import Mesh
 
-__all__ = ["refine_uniformly", "refine_uniformly_repeat"]
+__all__ = [
+    "refine_uniformly",
+    "refine_uniformly_repeat",
+    "prolongation_for_refinement",
+]
 
 
 def _edge_midpoint_indices(mesh: Mesh, edges):
@@ -156,3 +160,58 @@ def refine_uniformly_repeat(mesh: Mesh, times: int) -> Mesh:
     for _ in range(times):
         mesh = refine_uniformly(mesh)
     return mesh
+
+
+def prolongation_for_refinement(mesh: Mesh):
+    """Sparse prolongation from ``mesh`` to ``refine_uniformly(mesh)``.
+
+    Returns ``(parents [N_fine, 8] int32, weights [N_fine, 8] f64)`` such
+    that fine nodal values of any P1/Q1 field are
+    ``sum_k weights[n, k] * u_coarse[parents[n, k]]`` — the geometric-MG
+    transfer operator (restriction is its transpose).  Vertex ordering
+    matches :func:`refine_uniformly` exactly: coarse vertices first
+    (identity rows), then edge midpoints, then (quad/hex) face centers,
+    then cell centers; the ``np.unique`` calls reproduce the refinement's
+    dedup order bit-for-bit.
+    """
+    name = mesh.element.name
+    cells = mesh.cells.astype(np.int64)
+    N = mesh.num_vertices
+    edge_lists = {
+        "tri3": [(0, 1), (1, 2), (2, 0)],
+        "quad4": [(0, 1), (1, 2), (2, 3), (3, 0)],
+        "tet4": [(0, 1), (1, 2), (0, 2), (0, 3), (2, 3), (1, 3)],
+        "hex8": ELEMENTS["hex8"].edges,
+    }
+    if name not in edge_lists:
+        raise ValueError(f"uniform refinement not supported for {name}")
+    blocks = []  # (parents [n, k], weight 1/k)
+    blocks.append((np.arange(N, dtype=np.int64)[:, None], 1.0))
+    edges = edge_lists[name]
+    pairs = np.stack(
+        [np.stack([cells[:, a], cells[:, b]], axis=-1) for a, b in edges], axis=1
+    )
+    canon = np.sort(pairs, axis=-1).reshape(-1, 2)
+    uniq = np.unique(canon, axis=0)
+    blocks.append((uniq, 0.5))
+    if name == "hex8":
+        faces = ELEMENTS["hex8"].faces
+        fkeys = np.sort(
+            np.stack([cells[:, list(f)] for f in faces], axis=1), axis=-1
+        ).reshape(-1, 4)
+        funiq = np.unique(fkeys, axis=0)
+        blocks.append((funiq, 0.25))
+    if name in ("quad4", "hex8"):
+        blocks.append((cells, 1.0 / cells.shape[1]))
+    kmax = max(b[0].shape[1] for b in blocks)
+    parents = []
+    weights = []
+    for par, w in blocks:
+        n, k = par.shape
+        p = np.zeros((n, kmax), dtype=np.int32)
+        p[:, :k] = par
+        wts = np.zeros((n, kmax))
+        wts[:, :k] = w
+        parents.append(p)
+        weights.append(wts)
+    return np.concatenate(parents), np.concatenate(weights)

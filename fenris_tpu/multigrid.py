@@ -36,7 +36,7 @@ import numpy as np
 
 from .solid import LameParameters, LinearElasticMaterial
 
-__all__ = ["StructuredMGPreconditioner"]
+__all__ = ["StructuredMGPreconditioner", "GeometricMGPreconditioner"]
 
 
 def _smooth_axis(a, axis):
@@ -181,6 +181,154 @@ class StructuredMGPreconditioner:
         e_c = self._vcycle(lvl + 1, r_c)
         e = self._from_grid(lvl, _prolong(self._to_grid(lvl + 1, e_c)))
         e = jnp.where(self.levels[lvl]["free"], e, 0.0)
+        x = x + e
+        return self._smooth(lvl, x, b, self.num_smooth)
+
+    def __call__(self, r):
+        """Apply the V-cycle preconditioner: M^{-1} r."""
+        return self._vcycle(0, r)
+
+
+# ---------------------------------------------------------------------------
+# Unstructured geometric multigrid over a refinement hierarchy
+# ---------------------------------------------------------------------------
+
+
+def _prolong_unstructured(parents, weights, u_c):
+    """Apply P: coarse nodal field [Nc, s] -> fine [Nf, s]."""
+    return jnp.sum(weights[:, :, None] * u_c[parents], axis=1)
+
+
+def _restrict_unstructured(parents, weights, r_f, num_coarse: int):
+    """Apply Pᵀ: fine nodal field [Nf, s] -> coarse [Nc, s]."""
+    s = r_f.shape[-1]
+    contrib = (weights[:, :, None] * r_f[:, None, :]).reshape(-1, s)
+    return jax.ops.segment_sum(
+        contrib, jnp.asarray(parents).reshape(-1), num_segments=num_coarse
+    )
+
+
+@dataclass
+class GeometricMGPreconditioner:
+    """Matrix-free geometric V-cycle for *unstructured* hyperelastic models.
+
+    The unstructured counterpart of :class:`StructuredMGPreconditioner`:
+    the caller supplies the coarse mesh whose ``levels``-fold uniform
+    refinement produced the model's fine mesh
+    (:func:`~fenris_tpu.mesh.refinement.refine_uniformly_repeat`); transfer
+    operators come from the refinement's sparse prolongation
+    (:func:`~fenris_tpu.mesh.refinement.prolongation_for_refinement`,
+    restriction = transpose), and every level's operator is a
+    **rediscretized constant-coefficient linear-elastic Hessian** — the
+    same spectral-equivalence strategy as the structured path, so the
+    preconditioner is u-independent and built once per model.
+
+    Extends the reference beyond its Jacobi-CG solver story
+    (fenris-sparse/src/cg.rs): at >=1M dofs Jacobi-CG iteration counts grow
+    like O(1/h) while the V-cycle keeps them roughly flat.
+    """
+
+    model: Any  # HyperelasticModel on the fine mesh
+    coarse_mesh: Any  # Mesh whose `levels`-fold refinement is model.mesh
+    levels: int
+    num_smooth: int = 2
+    omega: float = 0.5
+    coarse_iters: int = 40
+
+    def __post_init__(self):
+        from .elasticity import HyperelasticModel
+        from .mesh.refinement import (
+            prolongation_for_refinement,
+            refine_uniformly,
+        )
+
+        m = self.model
+        s = m.mesh.dim
+        # scalar Lamé parameters for the rediscretized levels (per-element
+        # fields are averaged: the preconditioner only needs spectral
+        # equivalence, not exactness)
+        params = m.params
+        mu = float(np.mean(np.asarray(params.mu)))
+        lam = float(np.mean(np.asarray(params.lam)))
+        dirichlet_f = (
+            np.asarray(m.dirichlet_nodes, dtype=np.int64)
+            if m.dirichlet_nodes is not None
+            else np.zeros(0, dtype=np.int64)
+        )
+
+        meshes = [self.coarse_mesh]
+        transfers = []  # per refinement step: (parents, weights)
+        for _ in range(self.levels):
+            transfers.append(prolongation_for_refinement(meshes[-1]))
+            meshes.append(refine_uniformly(meshes[-1]))
+        if meshes[-1].num_vertices != m.mesh.num_vertices:
+            raise ValueError(
+                "coarse_mesh refined `levels` times does not match the "
+                f"model mesh ({meshes[-1].num_vertices} vs "
+                f"{m.mesh.num_vertices} vertices)"
+            )
+
+        # fine -> coarse level order (levels[0] = finest)
+        self.levels_data: List[dict] = []
+        for li in range(self.levels, -1, -1):
+            mesh_l = meshes[li]
+            # refinement appends vertices, so coarse nodes are a prefix of
+            # the fine nodes: constraint masks restrict by injection
+            dirichlet_l = dirichlet_f[dirichlet_f < mesh_l.num_vertices]
+            lin = HyperelasticModel(
+                mesh=mesh_l,
+                material=LinearElasticMaterial(),
+                params=LameParameters(mu=mu, lam=lam),
+                dirichlet_nodes=dirichlet_l,
+                dtype=m.space.X_geo.dtype,
+            )
+            u0 = jnp.zeros(lin.space.num_dofs, m.space.X_geo.dtype)
+            inv_diag = 1.0 / lin.hessian_diagonal(u0)
+            entry = dict(
+                model=lin,
+                free=lin.free_mask,
+                inv_diag=inv_diag,
+                num_vertices=mesh_l.num_vertices,
+                s=s,
+            )
+            if li > 0:
+                par, wts = transfers[li - 1]
+                entry["parents"] = jnp.asarray(par)
+                entry["weights"] = jnp.asarray(wts, m.space.X_geo.dtype)
+            self.levels_data.append(entry)
+
+    def _apply(self, lvl, v):
+        L = self.levels_data[lvl]
+        vm = jnp.where(L["free"], v, 0.0)
+        # linear material: Hessian action == internal forces (u-independent)
+        av = L["model"].internal_forces(vm)
+        return jnp.where(L["free"], av, v)
+
+    def _smooth(self, lvl, x, b, iters):
+        L = self.levels_data[lvl]
+        # unrolled: nested device loops are ~12x slower on XLA:TPU
+        for _ in range(int(iters)):
+            r = b - self._apply(lvl, x)
+            x = x + self.omega * L["inv_diag"] * r
+        return x
+
+    def _vcycle(self, lvl, b):
+        x = self._smooth(lvl, jnp.zeros_like(b), b, self.num_smooth)
+        if lvl == len(self.levels_data) - 1:
+            return self._smooth(lvl, x, b, self.coarse_iters)
+        L = self.levels_data[lvl]
+        Lc = self.levels_data[lvl + 1]
+        s = L["s"]
+        r = (b - self._apply(lvl, x)).reshape(-1, s)
+        r_c = _restrict_unstructured(
+            L["parents"], L["weights"], r, Lc["num_vertices"]
+        ).reshape(-1)
+        r_c = jnp.where(Lc["free"], r_c, 0.0)
+        e_c = self._vcycle(lvl + 1, r_c)
+        e = _prolong_unstructured(
+            L["parents"], L["weights"], e_c.reshape(-1, s)
+        ).reshape(-1)
+        e = jnp.where(L["free"], e, 0.0)
         x = x + e
         return self._smooth(lvl, x, b, self.num_smooth)
 

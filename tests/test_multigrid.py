@@ -100,3 +100,112 @@ def test_solve_with_mg_preconditioner():
     )
     res_j = model.solve(tolerance=1e-9, cg_rel_tolerance=1e-8)
     assert np.abs(np.asarray(res.x) - np.asarray(res_j.x)).max() < 1e-7
+
+
+# ---------------------------------------------------------------------------
+# round 2: unstructured geometric MG over refinement hierarchies
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name,maker", [
+    ("tri3", lambda: __import__("fenris_tpu.mesh.procedural", fromlist=["x"]).create_unit_square_uniform_tri_mesh_2d(3)),
+    ("quad4", lambda: __import__("fenris_tpu.mesh.procedural", fromlist=["x"]).create_unit_square_uniform_quad_mesh_2d(3)),
+    ("tet4", lambda: __import__("fenris_tpu.mesh.procedural", fromlist=["x"]).create_unit_box_uniform_tet_mesh_3d(2)),
+    ("hex8", lambda: __import__("fenris_tpu.mesh.procedural", fromlist=["x"]).create_unit_box_uniform_hex_mesh_3d(2)),
+])
+def test_refinement_prolongation_reproduces_linear(name, maker, rng):
+    """P interpolates P1/Q1-exactly: affine coarse fields prolong to the
+    exact fine nodal values."""
+    from fenris_tpu.mesh.refinement import (
+        prolongation_for_refinement,
+        refine_uniformly,
+    )
+    from fenris_tpu.multigrid import _prolong_unstructured, _restrict_unstructured
+
+    coarse = maker()
+    parents, weights = prolongation_for_refinement(coarse)
+    fine = refine_uniformly(coarse)
+    assert parents.shape[0] == fine.num_vertices
+    d = coarse.dim
+    a = rng.standard_normal(d)
+    f = lambda p: p @ a + 0.7
+    u_c = jnp.asarray(f(coarse.points))[:, None]
+    u_f = np.asarray(
+        _prolong_unstructured(jnp.asarray(parents), jnp.asarray(weights), u_c)
+    )[:, 0]
+    assert np.abs(u_f - f(fine.points)).max() < 1e-12
+    # adjointness: <P u_c, r_f> == <u_c, P^T r_f>
+    r_f = jnp.asarray(rng.standard_normal((fine.num_vertices, 2)))
+    u_c2 = jnp.asarray(rng.standard_normal((coarse.num_vertices, 2)))
+    lhs = float(jnp.vdot(_prolong_unstructured(jnp.asarray(parents), jnp.asarray(weights), u_c2), r_f))
+    rhs = float(jnp.vdot(u_c2, _restrict_unstructured(jnp.asarray(parents), jnp.asarray(weights), r_f, coarse.num_vertices)))
+    assert abs(lhs - rhs) < 1e-10 * max(1.0, abs(lhs))
+
+
+def _mg_cg_iters(levels):
+    """CG iterations (MG vs Jacobi) for linear elasticity at a hierarchy depth."""
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+    from fenris_tpu.mesh.refinement import refine_uniformly_repeat
+    from fenris_tpu.multigrid import GeometricMGPreconditioner
+    from fenris_tpu.solid import LinearElasticMaterial
+
+    coarse = create_unit_box_uniform_hex_mesh_3d(3)
+    fine = refine_uniformly_repeat(coarse, levels)
+    fixed = np.flatnonzero(fine.points[:, 0] < 1e-12)
+    model = HyperelasticModel(
+        mesh=fine,
+        material=LinearElasticMaterial(),
+        params=LameParameters(mu=384.0, lam=577.0),
+        dirichlet_nodes=fixed,
+    )
+    mg = GeometricMGPreconditioner(model, coarse, levels, coarse_iters=30)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(model.space.num_dofs))
+    b = jnp.where(model.free_mask, b, 0.0)
+    hvp = model.hessian_operator(jnp.zeros_like(b))
+    inv_diag = 1.0 / model.hessian_diagonal(jnp.zeros_like(b))
+    res_j = conjugate_gradient(hvp, b, preconditioner=lambda v: inv_diag * v,
+                               rel_tolerance=1e-8, max_iter=2000)
+    res_m = conjugate_gradient(hvp, b, preconditioner=mg,
+                               rel_tolerance=1e-8, max_iter=2000)
+    assert int(res_j.status) == CG_CONVERGED and int(res_m.status) == CG_CONVERGED
+    np.testing.assert_allclose(np.asarray(res_j.x), np.asarray(res_m.x), rtol=1e-5, atol=1e-8)
+    return int(res_j.num_iterations), int(res_m.num_iterations)
+
+
+def test_unstructured_mg_beats_jacobi_and_stays_flat():
+    j1, m1 = _mg_cg_iters(1)
+    j2, m2 = _mg_cg_iters(2)
+    # MG wins at each level and its iteration count stays roughly flat
+    # while Jacobi's grows with refinement
+    assert m1 < j1 and m2 < j2
+    assert m2 <= m1 + 5
+    assert j2 > j1
+
+
+def test_unstructured_mg_in_newton_solve():
+    """Full nonlinear solve through solve(preconditioner=mg) matches Jacobi."""
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+    from fenris_tpu.mesh.refinement import refine_uniformly_repeat
+    from fenris_tpu.multigrid import GeometricMGPreconditioner
+
+    coarse = create_unit_box_uniform_hex_mesh_3d(2)
+    fine = refine_uniformly_repeat(coarse, 1)
+    fixed = np.flatnonzero(fine.points[:, 0] < 1e-12)
+    kw = dict(
+        mesh=fine,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.0, lam=577.0),
+        dirichlet_nodes=fixed,
+        body_force=lambda x, p: jnp.array([0.0, 0.0, -80.0]),
+    )
+    m_j = HyperelasticModel(**kw)
+    m_m = HyperelasticModel(**kw)
+    mg = GeometricMGPreconditioner(m_m, coarse, 1, coarse_iters=30)
+    r_j = m_j.solve(tolerance=1e-9)
+    r_m = m_m.solve(tolerance=1e-9, preconditioner=mg)
+    assert float(r_j.residual_norm) < 1e-9
+    assert float(r_m.residual_norm) < 1e-9
+    np.testing.assert_allclose(np.asarray(r_j.x), np.asarray(r_m.x), rtol=0, atol=1e-7)

@@ -127,3 +127,56 @@ def test_cg_zero_rhs():
     assert int(res.status) == CG_CONVERGED
     assert int(res.num_iterations) == 0
     assert np.abs(np.asarray(res.x)).max() == 0.0
+
+
+def test_block_ell_matches_csr_spmv(rng):
+    """Block-ELL matvec == CSR SpMV on an assembled elasticity Hessian."""
+    import jax.numpy as jnp
+
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+    from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+    from fenris_tpu.sparse import from_pattern, spmv
+    from fenris_tpu.sparse.block_ell import block_ell_from_csr
+
+    mesh = create_unit_box_uniform_hex_mesh_3d(4)
+    model = HyperelasticModel(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.0, lam=577.0),
+        dirichlet_nodes=np.arange(25),
+    )
+    u = jnp.asarray(rng.standard_normal(model.space.num_dofs) * 0.01)
+    values = model.assemble_hessian_csr(u)
+    csr = from_pattern(model.space.pattern, values)
+    ell = block_ell_from_csr(model.space.pattern, values)
+    v = jnp.asarray(rng.standard_normal(model.space.num_dofs))
+    np.testing.assert_allclose(
+        np.asarray(ell @ v), np.asarray(spmv(csr, v)), rtol=1e-12, atol=1e-12
+    )
+
+
+def test_block_ell_scalar_poisson(rng):
+    """s = 1 block-ELL (Poisson stiffness) == CSR SpMV."""
+    import jax.numpy as jnp
+
+    from fenris_tpu import quadrature as quad
+    from fenris_tpu.assembly import global_ as G
+    from fenris_tpu.assembly import local as L
+    from fenris_tpu.mesh.procedural import create_unit_square_uniform_quad_mesh_2d
+    from fenris_tpu.operators import LaplaceOperator
+    from fenris_tpu.sparse import from_pattern, spmv
+    from fenris_tpu.sparse.block_ell import block_ell_from_csr
+
+    mesh = create_unit_square_uniform_quad_mesh_2d(7)
+    tab = L.tabulate(mesh.element, quad.quadrilateral_gauss(2))
+    X = jnp.asarray(mesh.cell_points())
+    A_el = L.assemble_element_elliptic_matrices(X, None, LaplaceOperator(), None, tab)
+    pattern = G.csr_pattern(np.asarray(mesh.cells), mesh.num_vertices, 1)
+    values = G.assemble_csr(A_el, pattern)
+    csr = from_pattern(pattern, values)
+    ell = block_ell_from_csr(pattern, values)
+    v = jnp.asarray(rng.standard_normal(mesh.num_vertices))
+    np.testing.assert_allclose(
+        np.asarray(ell @ v), np.asarray(spmv(csr, v)), rtol=1e-12, atol=1e-13
+    )
