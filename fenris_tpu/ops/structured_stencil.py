@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils import log1p_accurate
 
-__all__ = ["neo_hookean_residual_pallas"]
+__all__ = ["neo_hookean_residual_pallas", "neo_hookean_hvp_pallas"]
 
 # local hex8 node -> (di, dj, dk) offsets (matches structured.py)
 _OFFSETS = ((0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
@@ -144,6 +144,202 @@ def _nh_force_plane(u_win, cp, gp, wdet, mu, lam, ncy, ncx, valid, xy_mask):
             for s in range(3):
                 f_el[n][s] = f_el[n][s] * xy_mask
     return f_el
+
+
+def _read_plane_views(win, cp, ncy, ncx):
+    """Element-local displacement views U[n][s] as [ncy, ncx] arrays."""
+    U = []
+    for (di, dj, dk) in _OFFSETS:
+        U.append([
+            win[s, pl.ds(cp + dk, 1), dj : dj + ncy, di : di + ncx][0]
+            for s in range(3)
+        ])
+    return U
+
+
+def _grad_from_views(U, gp, q, ncy, ncx):
+    """G[d][s] = sum_n gp[q, n, d] * U[n][s] (zero-coefficient terms pruned)."""
+    G = [[None] * 3 for _ in range(3)]
+    for d in range(3):
+        for s in range(3):
+            acc = None
+            for n in range(8):
+                c = float(gp[q, n, d])
+                if c == 0.0:
+                    continue
+                term = c * U[n][s]
+                acc = term if acc is None else acc + term
+            G[d][s] = acc if acc is not None else jnp.zeros((ncy, ncx), U[0][0].dtype)
+    return G
+
+
+def _nh_hvp_plane(u_win, v_win, cp, gp, wdet, mu, lam, ncy, ncx, valid, xy_mask):
+    """Tangent (Hessian-action) contributions of one cell plane.
+
+    Same structure as :func:`_nh_force_plane`, but with the **closed-form
+    Neo-Hookean tangent** dP[dF] instead of traced ``jax.jvp`` — the key
+    to a VMEM-resident live set (VERDICT r1: the traced-jvp variant blew
+    VMEM on the unstructured sweep):
+
+        dP = mu dF + (dα cof + α dcof) / det − α cof ddet / det²
+        dα = λ ddet / det,  ddet = cof : dF,
+        dcof bilinear in (F, dF).
+    """
+    q_total = gp.shape[0]
+    U = _read_plane_views(u_win, cp, ncy, ncx)
+    V = _read_plane_views(v_win, cp, ncy, ncx)
+
+    f_el = [[None, None, None] for _ in range(8)]
+    for q in range(q_total):
+        G = _grad_from_views(U, gp, q, ncy, ncx)
+        dG = _grad_from_views(V, gp, q, ncy, ncx)
+        # F = I + G^T; dF = dG^T
+        F = [[G[j][i] + (1.0 if i == j else 0.0) for j in range(3)] for i in range(3)]
+        dF = [[dG[j][i] for j in range(3)] for i in range(3)]
+        a, b, c_ = G[0][0], G[1][0], G[2][0]
+        d_, e, f_ = G[0][1], G[1][1], G[2][1]
+        g_, h_, i_ = G[0][2], G[1][2], G[2][2]
+        gamma = (
+            (a + e + i_)
+            + (a * e - b * d_ + a * i_ - c_ * g_ + e * i_ - f_ * h_)
+            + (a * (e * i_ - f_ * h_) - b * (d_ * i_ - f_ * g_) + c_ * (d_ * h_ - e * g_))
+        )
+        det = 1.0 + gamma
+        logJ = log1p_accurate(jnp.maximum(gamma, -0.999999))
+        alpha = -mu + lam * logJ
+        inv_det = 1.0 / det
+        cof = [[None] * 3 for _ in range(3)]
+        dcof = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for j in range(3):
+                i1, i2 = (i + 1) % 3, (i + 2) % 3
+                j1, j2 = (j + 1) % 3, (j + 2) % 3
+                cof[i][j] = F[i1][j1] * F[i2][j2] - F[i1][j2] * F[i2][j1]
+                dcof[i][j] = (
+                    dF[i1][j1] * F[i2][j2]
+                    + F[i1][j1] * dF[i2][j2]
+                    - dF[i1][j2] * F[i2][j1]
+                    - F[i1][j2] * dF[i2][j1]
+                )
+        ddet = None
+        for i in range(3):
+            for j in range(3):
+                term = cof[i][j] * dF[i][j]
+                ddet = term if ddet is None else ddet + term
+        dalpha = lam * (ddet * inv_det)
+        beta = alpha * (ddet * inv_det) * inv_det  # α ddet / det²
+        dP = [
+            [
+                mu * dF[i][j]
+                + (dalpha * cof[i][j] + alpha * dcof[i][j]) * inv_det
+                - beta * cof[i][j]
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+        w = float(wdet[q]) if np.ndim(wdet[q]) == 0 else wdet[q]
+        for n in range(8):
+            for s in range(3):
+                acc = None
+                for d in range(3):
+                    cg = float(gp[q, n, d])
+                    if cg == 0.0:
+                        continue
+                    term = cg * dP[s][d]
+                    acc = term if acc is None else acc + term
+                contrib = (w * valid) * acc
+                f_el[n][s] = contrib if f_el[n][s] is None else f_el[n][s] + contrib
+    if xy_mask is not None:
+        for n in range(8):
+            for s in range(3):
+                f_el[n][s] = f_el[n][s] * xy_mask
+    return f_el
+
+
+def _kernel_hvp(gp, wdet, KZ, ncy, ncx, ny, nx, ncz, ncy0, ncx0, mu, lam,
+                u_hbm, v_hbm, out_ref, u_win, v_win, acc_ref, sem, sem2):
+    i = pl.program_id(0)
+    cp_base = i * KZ
+    dma_u = pltpu.make_async_copy(u_hbm.at[:, pl.ds(cp_base, KZ + 2)], u_win, sem)
+    dma_v = pltpu.make_async_copy(v_hbm.at[:, pl.ds(cp_base, KZ + 2)], v_win, sem2)
+    dma_u.start()
+    dma_v.start()
+    dma_u.wait()
+    dma_v.wait()
+    dt = out_ref.dtype
+
+    if ncy0 < ncy or ncx0 < ncx:
+        row = jax.lax.broadcasted_iota(jnp.int32, (ncy, ncx), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (ncy, ncx), 1)
+        xy_mask = ((row < ncy0) & (col < ncx0)).astype(dt)
+    else:
+        xy_mask = None
+
+    acc_ref[:] = jnp.zeros((3, KZ + 2, ny, nx), dt)
+
+    def plane_body(cp, _):
+        gcp = cp_base + cp - 1
+        valid = ((gcp >= 0) & (gcp < ncz)).astype(dt)
+        f_el = _nh_hvp_plane(
+            u_win, v_win, cp, gp, wdet, mu, lam, ncy, ncx, valid, xy_mask
+        )
+        for n, (di, dj, dk) in enumerate(_OFFSETS):
+            for s in range(3):
+                sl = (s, pl.ds(cp + dk, 1), slice(dj, dj + ncy), slice(di, di + ncx))
+                acc_ref[sl] = acc_ref[sl] + f_el[n][s][None]
+        return 0
+
+    jax.lax.fori_loop(0, KZ + 1, plane_body, 0)
+    out_ref[:] = acc_ref[:, 1 : KZ + 1]
+
+
+def neo_hookean_hvp_pallas(u_grid, v_grid, spacing, mu, lam, KZ: int = 8):
+    """Hessian-vector product of the Neo-Hookean structured model.
+
+    ``u_grid``/``v_grid``: [3, nz, ny, nx] f32 state and tangent grids;
+    returns (d/dε) f(u + ε v) as a grid.  One fused pass: two z-slab
+    window DMAs, closed-form tangent math, owned-plane writes — the
+    production Hessian-action path (one call ≡ one CG iteration's
+    operator application, elliptic.rs:361's role).
+    """
+    u_grid = jnp.asarray(u_grid, jnp.float32)
+    v_grid = jnp.asarray(v_grid, jnp.float32)
+    _, nz, ny0, nx0 = u_grid.shape
+    nx = max(128, nx0)
+    ny = max(8, ny0)
+    ncz, ncy, ncx = nz - 1, ny - 1, nx - 1
+    gp, wdet = _gp_table(spacing)
+
+    steps = -(-nz // KZ)
+    nz_pad = steps * KZ
+    pad = ((0, 0), (1, nz_pad + 1 - nz), (0, ny - ny0), (0, nx - nx0))
+    u_p = jnp.pad(u_grid, pad)
+    v_p = jnp.pad(v_grid, pad)
+
+    kernel = functools.partial(
+        _kernel_hvp, gp, wdet, KZ, ncy, ncx, ny, nx, nz - 1, ny0 - 1, nx0 - 1,
+        float(mu), float(lam)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, KZ, ny, nx), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, nz_pad, ny, nx), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, KZ + 2, ny, nx), jnp.float32),
+            pltpu.VMEM((3, KZ + 2, ny, nx), jnp.float32),
+            pltpu.VMEM((3, KZ + 2, ny, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(u_p, v_p)
+    return out[:, :nz, :ny0, :nx0]
 
 
 def _kernel(gp, wdet, KZ, ncy, ncx, ny, nx, ncz, ncy0, ncx0, mu, lam, u_hbm, out_ref, u_win, acc_ref, sem):

@@ -258,6 +258,42 @@ class StructuredHyperelasticModel:
         acc, _ = jax.lax.scan(body, acc0, (starts, zmask))
         return self._ungrid(acc[:, : self.node_shape[0]])
 
+    # -- fused Pallas stencil path (ops/structured_stencil.py) -------------
+    # Explicit opt-in: the kernels fuse the whole per-element chain into
+    # one z-slab pass (essential HBM traffic only).  Neo-Hookean f32 only.
+
+    def _check_pallas(self):
+        from .solid import NeoHookeanMaterial
+
+        if not isinstance(self.material, NeoHookeanMaterial):
+            raise NotImplementedError("Pallas stencil path is Neo-Hookean only")
+
+    def internal_forces_pallas(self, u, KZ: int = 4):
+        """Internal forces via the fused Pallas z-slab kernel."""
+        self._check_pallas()
+        from .ops.structured_stencil import neo_hookean_residual_pallas
+
+        f = neo_hookean_residual_pallas(
+            self._grid(u), self.spacing, float(self.params.mu), float(self.params.lam), KZ=KZ
+        )
+        return self._ungrid(f)
+
+    def residual_pallas(self, u, KZ: int = 4):
+        r = self.internal_forces_pallas(u, KZ=KZ) - self._f_ext
+        return jnp.where(self.free_mask, r, 0.0)
+
+    def hessian_vector_product_pallas(self, u, v, KZ: int = 4):
+        """Hessian action via the fused closed-form tangent kernel."""
+        self._check_pallas()
+        from .ops.structured_stencil import neo_hookean_hvp_pallas
+
+        vm = jnp.where(self.free_mask, v, 0.0)
+        hv = neo_hookean_hvp_pallas(
+            self._grid(u), self._grid(vm), self.spacing,
+            float(self.params.mu), float(self.params.lam), KZ=KZ,
+        )
+        return jnp.where(self.free_mask, self._ungrid(hv), v)
+
     def residual(self, u):
         r = self.internal_forces(u) - self._f_ext
         return jnp.where(self.free_mask, r, 0.0)
