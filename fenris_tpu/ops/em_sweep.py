@@ -172,7 +172,18 @@ def em_vector_sweep(X_em, u_em, op, params, tab: Tabulation):
 
 
 def em_vector_jvp_sweep(X_em, u_em, v_em, op, params, tab: Tabulation):
-    """Tangent sweep df = (d/du f)(u)[v] in one fused kernel (TPU)."""
+    """Tangent sweep df = (d/du f)(u)[v] in one fused kernel.
+
+    Interpreter-validated only: the traced-``jax.jvp`` body exceeds
+    physical VMEM on v5e (168 MB live vs 128 MB) and cannot compile, so
+    the compiled TPU path is guarded off — use the closed-form tangent
+    kernel (:func:`..structured_stencil.neo_hookean_hvp_pallas`) on the
+    structured path, or the XLA element sweeps.
+    """
+    if jax.default_backend() == "tpu":
+        raise NotImplementedError(
+            "em_vector_jvp_sweep exceeds v5e VMEM when compiled; see docstring"
+        )
     E = X_em.shape[-1]
     n, s = u_em.shape[0], u_em.shape[1]
     Xt, Et = _pad_tiles(X_em.astype(jnp.float32), E)

@@ -15,7 +15,10 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
@@ -104,16 +107,16 @@ def main() -> None:
         }
 
         halo = StructuredHaloElasticity(smodel, mesh)
-        ug = halo.to_sharded(u)
-        vg = halo.to_sharded(v)
+        ug = halo.to_grid(u)
+        vg = halo.to_grid(v)
         fh = jax.jit(halo.residual)
         hh = jax.jit(halo.hessian_vector_product)
         row["halo_ppermute"] = {
             "residual_max_abs_diff": float(
-                np.abs(halo.to_flat(fh(ug)) - r_ref).max()
+                np.abs(np.asarray(halo.to_flat(fh(ug))) - r_ref).max()
             ),
             "hvp_max_abs_diff": float(
-                np.abs(halo.to_flat(hh(ug, vg)) - h_ref).max()
+                np.abs(np.asarray(halo.to_flat(hh(ug, vg))) - h_ref).max()
             ),
             "collectives_residual": count_collectives(
                 fh.lower(ug).compile().as_text()
