@@ -54,6 +54,13 @@ class HyperelasticModel:
         rule: quadrature rule (default: canonical stiffness rule).
         dirichlet_nodes: nodes with homogeneous Dirichlet conditions.
         body_force: optional ``f(x, params) -> [d]`` source.
+
+    .. note:: Treat instances as immutable after construction: repeated
+       ``solve`` calls reuse a cached, closure-converted Newton iteration
+       whose captured arrays are snapshotted at first use (see
+       :func:`~fenris_tpu.optimize.newton_cache`) — mutating fields
+       (params, loads, mesh data) afterwards silently keeps the old
+       physics.  Build a new model instead.
     """
 
     mesh: Mesh

@@ -161,3 +161,28 @@ def test_solve_mixed_precision_reaches_f64_accuracy():
     # agrees with the all-f64 solve
     ref = m64.solve(tolerance=1e-12 * f0, cg_rel_tolerance=1e-10)
     assert np.abs(np.asarray(ref.x) - np.asarray(res.x)).max() < 1e-8
+
+
+def test_solve_mixed_mg_accuracy_16cubed():
+    """Mixed-precision + MG at the largest CPU-checkable size: the f64
+    oracle residual of the returned solution must be < 1e-10 relative
+    (the identical algorithm runs the 10M-dof artifact, tools/solve_10m.py)."""
+    c = 16
+    nodes = (c + 1) ** 3
+    mask = np.zeros(nodes * 3, dtype=bool)
+    mask[: (c + 1) ** 2 * 3] = True
+    kwargs = dict(
+        cells=(c, c, c),
+        spacing=1.0 / c,
+        material=NeoHookeanMaterial(),
+        params=PARAMS,
+        dirichlet_mask=mask,
+        body_force=np.array([0.0, 0.0, -4.0]),
+    )
+    m32 = StructuredHyperelasticModel(dtype=jnp.float32, **kwargs)
+    res = m32.solve_mixed(tolerance=1e-10, preconditioner="mg")
+    assert int(res.status) == NEWTON_CONVERGED
+    m64 = StructuredHyperelasticModel(dtype=jnp.float64, **kwargs)
+    r0 = float(jnp.linalg.norm(m64.residual(jnp.zeros(m64.num_dofs))))
+    rel = float(jnp.linalg.norm(m64.residual(res.x))) / r0
+    assert rel < 1e-10, rel
