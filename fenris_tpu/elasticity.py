@@ -324,10 +324,49 @@ class HyperelasticModel:
         r = self.internal_forces(u) - self._f_ext
         return jnp.where(self.free_mask, r, 0.0)
 
+    def _tangent_sweep(self, u, v):
+        """Banded Hessian action: gather u,v → closed-form tangent sweep → scatter.
+
+        Uses :func:`~.assembly.local_em.assemble_element_elliptic_tangent_vectors_em`
+        (the material's closed-form ``g_tangent``) instead of ``jax.jvp``
+        over the primal sweep — no primal force computation, ~half the
+        per-CG-iteration element work.
+        """
+        from .assembly import local_em as LE
+        from .ops import banded as B
+
+        n = self.mesh.element.num_nodes
+        s = self.mesh.dim
+        u_el = B.gather(self._plan, u.reshape(-1, s))
+        v_el = B.gather(self._plan, v.reshape(-1, s))
+        uv_el = jnp.concatenate([u_el, v_el], axis=1)  # [pe, 2n, s]
+
+        def assemble(Xc, uvc, pc):
+            uc, vc = uvc[:, :n], uvc[:, n:]
+            return jnp.transpose(
+                LE.assemble_element_elliptic_tangent_vectors_em(
+                    jnp.transpose(Xc, (1, 2, 0)),
+                    jnp.transpose(uc, (1, 2, 0)),
+                    jnp.transpose(vc, (1, 2, 0)),
+                    self.operator,
+                    LE.params_to_element_minor(pc, uc.shape[0]),
+                    self.tab,
+                ),
+                (2, 0, 1),
+            ).reshape(uc.shape[0], n * s)
+
+        f_el = self._banded_sweep(uv_el, assemble, n * s)
+        pe = self._plan.padded_elements
+        return B.scatter_add(self._plan, f_el.reshape(pe, n, s)).reshape(-1)
+
     def hessian_vector_product(self, u, v):
-        """Exact Hessian action via jvp of the residual (matrix-free)."""
+        """Exact Hessian action (matrix-free): closed-form tangent sweep on
+        the banded path, jvp of the residual otherwise."""
         vm = jnp.where(self.free_mask, v, 0.0)
-        _, hv = jax.jvp(self.internal_forces, (u,), (vm,))
+        if self._plan is not None:
+            hv = self._tangent_sweep(u, vm)
+        else:
+            _, hv = jax.jvp(self.internal_forces, (u,), (vm,))
         return jnp.where(self.free_mask, hv, v)
 
     def hessian_operator(self, u):

@@ -60,6 +60,19 @@ class EllipticOperator:
         # jacfwd over G: result[k, i, m, j] = d g[k,i] / d G[m,j]
         return jax.jacfwd(lambda Gm: self.g(Gm, params))(G)
 
+    def g_tangent(self, G, dG, params):
+        """Directional tangent ``dg[k, i] = D[k, i, m, j] dG[m, j]`` at one point.
+
+        The Hessian-action workhorse (the directional form of
+        ``EllipticContraction``, operators.rs:49-58) *without* materializing
+        the ``[d, s, d, s]`` tensor — what keeps fused Hessian-action
+        kernels' live set VMEM-resident (:mod:`..ops.em_sweep`).  Defaults
+        to forward-mode autodiff of :meth:`g`; closed-form overrides
+        (:class:`~fenris_tpu.solid.MaterialEllipticOperator`) cut the op
+        count roughly in half by skipping the primal value.
+        """
+        return jax.jvp(lambda Gm: self.g(Gm, params), (G,), (dG,))[1]
+
     def has_energy(self) -> bool:
         try:
             self.energy(jnp.zeros((1, self.solution_dim)), None)
@@ -89,6 +102,9 @@ class LaplaceOperator(EllipticOperator):
         d = G.shape[0]
         eye = jnp.eye(d, dtype=G.dtype)
         return eye[:, None, :, None]  # delta_km delta_ij with s = 1
+
+    def g_tangent(self, G, dG, params):
+        return dG
 
 
 @dataclass

@@ -28,11 +28,15 @@ value-carry fori are far worse); scoped-VMEM default of 16MB overflows
 at 69.7MB, raised via ``vmem_limit_bytes``.  The production unstructured
 path remains banded gather/scatter + the scanned XLA element-minor sweep
 until compile times are tolerable; opt in per deployment where a 25-min
-warmup amortizes.  The jvp kernel additionally exceeds physical VMEM
-(168MB live temporaries vs 128MB on v5e; 8x128 elements is already the
-minimal f32 tile) — it needs either per-point body splitting or
-hand-derived material tangents with a smaller live set before it can
-compile.
+warmup amortizes.  The traced-``jax.jvp`` tangent kernel
+(:func:`em_vector_jvp_sweep`) exceeds physical VMEM (168MB live
+temporaries vs 128MB on v5e; 8x128 elements is already the minimal f32
+tile) and stays guarded off on TPU; its replacement is
+:func:`em_vector_tangent_sweep`, which uses the materials' closed-form
+``g_tangent`` (e.g. Neo-Hookean cofactor identities,
+solid/__init__.py) for a VMEM-sized live set — the same route that made
+the structured stencil hvp kernel production
+(:mod:`.structured_stencil`).
 """
 
 from __future__ import annotations
@@ -46,7 +50,12 @@ import numpy as np
 from ..assembly import local_em as LE
 from ..assembly.local import Tabulation
 
-__all__ = ["em_vector_sweep", "em_vector_jvp_sweep", "supports"]
+__all__ = [
+    "em_vector_sweep",
+    "em_vector_jvp_sweep",
+    "em_vector_tangent_sweep",
+    "supports",
+]
 
 _TILE = (8, 128)
 _ET = _TILE[0] * _TILE[1]
@@ -115,6 +124,33 @@ def _vector_jvp_kernel(op, params, tab, gd_ref, dp_ref, w_ref, x_ref, u_ref, v_r
             (v_em,),
         )
         o_ref[:, :, 0] += dc
+        return 0
+
+    jax.lax.fori_loop(0, q, body, 0)
+
+
+def _vector_tangent_kernel(
+    op, params, tab, gd_ref, dp_ref, w_ref, x_ref, u_ref, v_ref, o_ref
+):
+    """Closed-form tangent sweep (VERDICT r1 route (b)): the live set is a
+    single tangent-stress evaluation per point — no traced-jvp pairing of
+    every primal intermediate, which is what blew physical VMEM in the
+    :func:`_vector_jvp_kernel` variant."""
+    import jax.experimental.pallas as pl
+
+    X_em = x_ref[:, :, 0]
+    u_em = u_ref[:, :, 0]
+    v_em = v_ref[:, :, 0]
+    q = gd_ref.shape[0]
+    o_ref[:, :, 0] = u_em * jnp.zeros((), jnp.float32)
+
+    def body(i, _):
+        gd = gd_ref[pl.ds(i, 1)][0]
+        dp = dp_ref[pl.ds(i, 1)][0]
+        w = w_ref[pl.ds(i, 1)][0, 0]
+        o_ref[:, :, 0] += LE.elliptic_vector_tangent_qp(
+            X_em, u_em, v_em, op, params, gd, dp, w
+        )
         return 0
 
     jax.lax.fori_loop(0, q, body, 0)
@@ -191,5 +227,28 @@ def em_vector_jvp_sweep(X_em, u_em, v_em, op, params, tab: Tabulation):
     vt, _ = _pad_tiles(v_em.astype(jnp.float32), E)
     out = _call(
         partial(_vector_jvp_kernel, op, params, tab), n, s, tab, (Xt, ut, vt), Et
+    )
+    return _unpad_tiles(out, E)
+
+
+def em_vector_tangent_sweep(X_em, u_em, v_em, op, params, tab: Tabulation):
+    """Fused Hessian-action sweep df = (∂f/∂u)[v] with closed-form tangents.
+
+    The production-candidate replacement for :func:`em_vector_jvp_sweep`:
+    the kernel body calls the operator's ``g_tangent`` (closed-form
+    material tangent stress, e.g. the Neo-Hookean cofactor identities)
+    instead of tracing ``jax.jvp`` of the primal — the traced variant's
+    per-intermediate tangent pairing is what exceeded physical VMEM on
+    v5e (168 MB vs 128 MB).  Interpreter-exact vs the XLA tangent sweep
+    (tests/test_em_kernel.py); compiled-path status tracked in the module
+    docstring.
+    """
+    E = X_em.shape[-1]
+    n, s = u_em.shape[0], u_em.shape[1]
+    Xt, Et = _pad_tiles(X_em.astype(jnp.float32), E)
+    ut, _ = _pad_tiles(u_em.astype(jnp.float32), E)
+    vt, _ = _pad_tiles(v_em.astype(jnp.float32), E)
+    out = _call(
+        partial(_vector_tangent_kernel, op, params, tab), n, s, tab, (Xt, ut, vt), Et
     )
     return _unpad_tiles(out, E)

@@ -143,6 +143,19 @@ class HyperelasticMaterial:
         # jacfwd gives J[i, k, j, m] = dP_ik / dF_jm
         return jax.jacfwd(P_of_F)(F)
 
+    def stress_tangent_du(self, u_grad, du_grad, params):
+        """Directional stress tangent dP = (∂P/∂F)[dF] at F(∇u), dF = (d/dX)δu.
+
+        The tangent-stress form of ``accumulate_stress_contractions_du_into``
+        (lib.rs:496) — a single ``[d, d]`` matrix instead of the rank-4
+        tensor, which is what Newton-Krylov Hessian actions and fused
+        Hessian kernels consume.  Defaults to forward-mode autodiff of
+        :meth:`stress_du`; materials override with closed forms.
+        """
+        return jax.jvp(
+            lambda G: self.stress_du(G, params), (u_grad,), (du_grad,)
+        )[1]
+
     # F-based parity wrappers ------------------------------------------------
 
     def energy_density(self, F, params):
@@ -192,6 +205,15 @@ class LinearElasticMaterial(HyperelasticMaterial):
         )
         return A
 
+    def stress_tangent_du(self, u_grad, du_grad, params):
+        # dP = 2μ dε + λ tr(dε) I — independent of u
+        mu, lam = params.mu, params.lam
+        d = u_grad.shape[-1]
+        ddu = jnp.swapaxes(du_grad, -1, -2)
+        deps = 0.5 * (ddu + jnp.swapaxes(ddu, -1, -2))
+        tr = jnp.trace(deps, axis1=-2, axis2=-1)
+        return 2.0 * mu * deps + lam * tr[..., None, None] * jnp.eye(d, dtype=u_grad.dtype)
+
 
 class NeoHookeanMaterial(HyperelasticMaterial):
     """ψ = μ/2 (I_C - d) - μ log J + λ/2 log²J (materials.rs:125-232).
@@ -238,6 +260,32 @@ class NeoHookeanMaterial(HyperelasticMaterial):
             + mu * _einsum("km,ij->ikjm", delta, delta)
         )
 
+    def stress_tangent_du(self, u_grad, du_grad, params):
+        """Closed-form tangent via cofactor/inverse identities.
+
+        dP = μ dF + λ tr(F⁻¹dF) F⁻ᵀ − α F⁻ᵀ dFᵀ F⁻ᵀ,  α = −μ + λ log J
+        (d(F⁻ᵀ) = −(F⁻¹ dF F⁻¹)ᵀ, d log J = tr(F⁻¹ dF)).  ~60 flops/point
+        vs ~160 for the traced jvp (which also rebuilds the primal P) —
+        and, critically, a VMEM-sized live set inside fused kernels
+        (see ops/structured_stencil.py's plane-tile specialization).
+        """
+        mu, lam = params.mu, params.lam
+        F = deformation_gradient(u_grad)
+        dF = jnp.swapaxes(du_grad, -1, -2)
+        logJ = log_det_F(jnp.swapaxes(u_grad, -1, -2))
+        Finv, _ = _inv_and_det(F)
+        FinvT = jnp.swapaxes(Finv, -1, -2)
+        alpha = -mu + lam * logJ
+        dlogJ = _einsum("...ij,...ji->...", Finv, dF)
+        dFinvT = -_einsum(
+            "...ik,...lk,...lj->...ij", FinvT, dF, FinvT
+        )  # −F⁻ᵀ dFᵀ F⁻ᵀ
+        return (
+            mu * dF
+            + (lam * dlogJ)[..., None, None] * FinvT
+            + alpha[..., None, None] * dFinvT
+        )
+
 
 class StVKMaterial(HyperelasticMaterial):
     """Saint Venant-Kirchhoff: ψ = μ E:E + λ/2 tr²E, E = (FᵀF - I)/2 (materials.rs:375)."""
@@ -274,6 +322,25 @@ class StVKMaterial(HyperelasticMaterial):
             + mu * _einsum("km,ij->ikjm", delta, FFt)
         )
 
+    def stress_tangent_du(self, u_grad, du_grad, params):
+        # P = F S, S = 2μE + λ trE I  ⇒  dP = dF S + F dS,
+        # dE = sym(Fᵀ dF), dS = 2μ dE + λ tr(dE) I
+        mu, lam = params.mu, params.lam
+        d = u_grad.shape[-1]
+        F = deformation_gradient(u_grad)
+        dF = jnp.swapaxes(du_grad, -1, -2)
+        eye = jnp.eye(d, dtype=u_grad.dtype)
+        E = 0.5 * (_einsum("...ki,...kj->...ij", F, F) - eye)
+        FtdF = _einsum("...ki,...kj->...ij", F, dF)
+        dE = 0.5 * (FtdF + jnp.swapaxes(FtdF, -1, -2))
+        trE = jnp.trace(E, axis1=-2, axis2=-1)
+        trdE = jnp.trace(dE, axis1=-2, axis2=-1)
+        S = 2.0 * mu * E + lam * trE[..., None, None] * eye
+        dS = 2.0 * mu * dE + lam * trdE[..., None, None] * eye
+        return _einsum("...ik,...kj->...ij", dF, S) + _einsum(
+            "...ik,...kj->...ij", F, dS
+        )
+
 
 @dataclass
 class MaterialEllipticOperator(EllipticOperator):
@@ -301,6 +368,12 @@ class MaterialEllipticOperator(EllipticOperator):
         A = self.material.stress_contraction_tensor_du(G, params)
         # D[k,i,m,j] = A[i,k,j,m]
         return jnp.transpose(A, (1, 0, 3, 2))
+
+    def g_tangent(self, G, dG, params):
+        # dg = dPᵀ: D[k,i,m,j] dG[m,j] = (∂P/∂F)[dF]ᵀ with dF = dGᵀ
+        return jnp.swapaxes(
+            self.material.stress_tangent_du(G, dG, params), -1, -2
+        )
 
 
 @dataclass

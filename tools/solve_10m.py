@@ -47,18 +47,37 @@ def run_case(cells_per_dim: int, tolerance: float = 1e-10) -> dict:
         dirichlet_mask=mask,
         body_force=np.array([0.0, 0.0, -4.0]),
     )
+    def log(msg):
+        print(f"[{cells_per_dim}^3 +{time.perf_counter() - t_start:.0f}s] {msg}",
+              flush=True)
+
+    t_start = time.perf_counter()
     model = StructuredHyperelasticModel(dtype=jnp.float32, **kwargs)
+    log(f"model built ({model.num_dofs} dofs); warming residual")
+    _ = float(jnp.linalg.norm(model.residual(jnp.zeros(model.num_dofs, jnp.float32))))
+    log("f32 residual ok; warming pallas hvp")
+    _ = float(
+        jnp.linalg.norm(
+            model.hessian_vector_product(
+                jnp.zeros(model.num_dofs, jnp.float32),
+                jnp.ones(model.num_dofs, jnp.float32),
+            )
+        )
+    )
+    log("hvp ok; starting solve_mixed")
     t0 = time.perf_counter()
     res = model.solve_mixed(tolerance=tolerance, preconditioner="mg",
                             max_newton_iterations=40)
     x = np.asarray(res.x)  # f64
     wall = time.perf_counter() - t0
+    log(f"solve done in {wall:.0f}s; verifying true f64 residual")
 
     # independent true-residual verification in f64 (emulated on TPU)
     m64 = StructuredHyperelasticModel(dtype=jnp.float64, **kwargs)
     r0 = float(jnp.linalg.norm(m64.residual(jnp.zeros(m64.num_dofs))))
     r = float(jnp.linalg.norm(m64.residual(jnp.asarray(x))))
     energy = float(m64.energy(jnp.asarray(x)))
+    log("verification done")
     return {
         "cells": [ncx, ncy, ncz],
         "dofs": int(model.num_dofs),
