@@ -35,7 +35,22 @@ def _vertex_adjacency(mesh: Mesh) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def cuthill_mckee(mesh: Mesh) -> np.ndarray:
-    """Cuthill–McKee permutation: ``perm[new_index] = old_index``."""
+    """Cuthill–McKee permutation: ``perm[new_index] = old_index``.
+
+    Dispatches to the C++ implementation (native/reorder.cpp, ~70x at
+    250k hex elements on the single-core host) when available; the numpy
+    path below is the fallback and the semantic reference (both pinned
+    identical by tests/test_native.py).
+    """
+    from ..native import cuthill_mckee_native
+
+    perm = cuthill_mckee_native(np.asarray(mesh.cells), mesh.num_vertices)
+    if perm is not None:
+        return perm
+    return _cuthill_mckee_numpy(mesh)
+
+
+def _cuthill_mckee_numpy(mesh: Mesh) -> np.ndarray:
     offsets, neighbors = _vertex_adjacency(mesh)
     nv = mesh.num_vertices
     degree = np.diff(offsets)

@@ -18,7 +18,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["native_available", "build_pattern_native"]
+__all__ = ["native_available", "build_pattern_native", "cuthill_mckee_native"]
 
 _LIB_NAME = "libfenris_native.so"
 _HERE = Path(__file__).parent
@@ -39,12 +39,12 @@ class _PatternResult(ctypes.Structure):
 
 
 def _compile() -> Optional[Path]:
-    src = _HERE / "pattern.cpp"
+    srcs = [_HERE / "pattern.cpp", _HERE / "reorder.cpp"]
     out = _HERE / _LIB_NAME
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    if out.exists() and out.stat().st_mtime >= max(s.stat().st_mtime for s in srcs):
         return out
     cxx = os.environ.get("CXX", "g++")
-    cmd = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17", str(src), "-o", str(out)]
+    cmd = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17", *map(str, srcs), "-o", str(out)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
         return out
@@ -74,8 +74,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(_PatternResult),
         ]
         lib.fenris_free_pattern.argtypes = [ctypes.POINTER(_PatternResult)]
+        lib.fenris_cuthill_mckee.restype = ctypes.c_int
+        lib.fenris_cuthill_mckee.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
         _lib = None
     return _lib
 
@@ -115,3 +123,25 @@ def build_pattern_native(cells: np.ndarray, num_nodes: int, solution_dim: int):
     finally:
         lib.fenris_free_pattern(ctypes.byref(res))
     return row_ptr, col_indices, rows_of_nnz, scatter, diag
+
+
+def cuthill_mckee_native(cells: np.ndarray, num_vertices: int):
+    """C++ Cuthill-McKee permutation (``perm[new] = old``), or None if the
+    native library is unavailable.  Bit-identical to the numpy path in
+    :mod:`..mesh.reorder` (pinned by tests/test_native.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    cells = np.ascontiguousarray(cells, dtype=np.int32)
+    E, n = cells.shape
+    perm = np.empty(int(num_vertices), dtype=np.int64)
+    rc = lib.fenris_cuthill_mckee(
+        cells.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(E),
+        ctypes.c_int32(n),
+        ctypes.c_int64(int(num_vertices)),
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return perm
