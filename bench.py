@@ -29,17 +29,26 @@ import numpy as np
 GATHER_PATH_ANCHOR_ELPS = 1.3e6  # measured unstructured-path hvp, round 1
 
 
-def device_loop_time(step, x0, iters: int, reps: int = 3) -> float:
+def device_loop_time(step, x0, iters: int, reps: int = 3, operands=()) -> float:
+    """Best-of-reps per-iteration time of ``step`` chained ``iters`` times.
+
+    ``operands`` (arrays ``step`` needs beyond the carried value) are passed
+    as jit *arguments* and forwarded as ``step(x, *operands)`` — embedding
+    index arrays as closure constants would measure the XLA:TPU
+    closure-constant gather slow path (CLAUDE.md), not the kernel.
+    """
     import jax
     import jax.numpy as jnp
 
-    run = jax.jit(lambda x: jax.lax.fori_loop(0, iters, lambda i, xx: step(xx), x))
-    out = run(x0)
+    run = jax.jit(
+        lambda x, *ops: jax.lax.fori_loop(0, iters, lambda i, xx: step(xx, *ops), x)
+    )
+    out = run(x0, *operands)
     _ = float(jnp.asarray(out).ravel()[0])  # warm + true sync
     best = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = run(x0)
+        out = run(x0, *operands)
         _ = float(jnp.asarray(out).ravel()[0])
         best = min(best, time.perf_counter() - t0)
     empty = jax.jit(lambda x: x)
@@ -147,8 +156,8 @@ def bench_spmv(res: int = 69):
     from fenris_tpu.elasticity import HyperelasticModel
     from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
     from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
-    from fenris_tpu.sparse import from_pattern, spmv
-    from fenris_tpu.sparse.block_ell import block_ell_from_csr
+    from fenris_tpu.sparse import CsrMatrix, from_pattern, spmv
+    from fenris_tpu.sparse.block_ell import BlockEllMatrix, block_ell_from_csr
 
     mesh = create_unit_box_uniform_hex_mesh_3d(res)
     model = HyperelasticModel(
@@ -169,14 +178,20 @@ def bench_spmv(res: int = 69):
 
     v0 = jnp.ones(ndofs, jnp.float32)
 
-    def csr_step(v):
-        return v + 1e-12 * spmv(csr, v)
+    # matrix arrays enter as jit arguments (closure-constant index arrays
+    # would hit the ~1000x XLA:TPU gather slow path and invalidate the GB/s)
+    def csr_step(v, row_ptr, col_indices, values):
+        m = CsrMatrix(row_ptr, col_indices, values, csr.shape)
+        return v + 1e-12 * spmv(m, v)
 
-    def ell_step(v):
-        return v + 1e-12 * (ell @ v)
+    def ell_step(v, neighbors, blocks):
+        m = BlockEllMatrix(neighbors, blocks, ell.num_nodes, ell.solution_dim)
+        return v + 1e-12 * (m @ v)
 
-    dt_csr = device_loop_time(csr_step, v0, 6)
-    dt_ell = device_loop_time(ell_step, v0, 10)
+    dt_csr = device_loop_time(
+        csr_step, v0, 6, operands=(csr.row_ptr, csr.col_indices, csr.values)
+    )
+    dt_ell = device_loop_time(ell_step, v0, 10, operands=(ell.neighbors, ell.blocks))
     return {
         "dofs": ndofs,
         "nnz": nnz,

@@ -514,14 +514,16 @@ class HyperelasticModel:
             )
             return res.x
 
-        from .optimize import newton_cache
+        from .optimize import identity_cache_key, newton_cache
 
         cache = newton_cache(
             self,
             cg_rel_tolerance,
             cg_max_iter,
             line_search,
-            id(preconditioner) if preconditioner is not None else None,
+            identity_cache_key(self, preconditioner)
+            if preconditioner is not None
+            else None,
         )
         return newton_line_search(
             self.residual,

@@ -286,6 +286,15 @@ class ConvexPolygon:
             return False
         if self.is_point():
             return bool(np.all(np.abs(x - self.vertices[0]) <= tol))
+        if self.is_line_segment():
+            # the lone edge half-plane would accept its whole side
+            # (the reference refuses this case, polytope.rs:102; we
+            # answer the segment-membership question exactly instead)
+            a, b = self.vertices
+            t = b - a
+            L2 = float(t @ t)
+            s = 0.0 if L2 == 0.0 else float(np.clip((x - a) @ t / L2, 0.0, 1.0))
+            return bool(np.linalg.norm(x - (a + s * t)) <= tol)
         for hp in self.half_planes():
             if hp.signed_distance(x) > tol:
                 return False

@@ -57,6 +57,25 @@ def newton_cache(obj, *key) -> dict:
     return caches.setdefault(key, {})
 
 
+def identity_cache_key(obj, value) -> int:
+    """``id(value)`` as a :func:`newton_cache` key component, made safe.
+
+    A bare ``id()`` key is unsound: after ``value`` is garbage-collected
+    CPython may reuse its id for a *different* object, silently resurrecting
+    a stale cache entry (whose closure-converted solve captured the old
+    object's arrays).  Pinning ``value`` on the cache owner keeps the id
+    unique for the owner's lifetime.  Used for unhashable key objects such
+    as dataclass preconditioners.
+    """
+    pins = getattr(obj, "_newton_cache_pins", None)
+    if pins is None:
+        pins = []
+        object.__setattr__(obj, "_newton_cache_pins", pins)
+    if all(p is not value for p in pins):
+        pins.append(value)
+    return id(value)
+
+
 class NewtonResult(NamedTuple):
     x: jnp.ndarray
     iterations: jnp.ndarray

@@ -249,6 +249,7 @@ def closest_point_in_element(
     x,
     num_iterations: int = 24,
     tol: float = 1e-10,
+    charts: bool = True,
 ):
     """Constrained closest-point query (``ClosestPointInElement``,
     element.rs:462 + per-element impls, triangle.rs:450/536,
@@ -267,6 +268,11 @@ def closest_point_in_element(
     minimum physical distance wins.  Exact for affine elements (the
     constrained minimizer is a stationary point of some face restriction);
     standard local convergence for multilinear/curved geometry.
+
+    ``charts=False`` skips the (~25x more expensive) boundary enumeration:
+    interior queries are answered exactly, outside queries return
+    ``inf`` distance — callers that only need insideness (or re-run
+    outside queries themselves) use this as the fast pre-pass.
     """
     from .assembly.local import inv_and_det
 
@@ -284,14 +290,17 @@ def closest_point_in_element(
     cand_xi = [xi_n]
     cand_dist = [jnp.where(inside, 0.0, jnp.inf)]  # interior only if feasible
 
-    V, charts = _domain_faces(el.domain)
+    if not charts:
+        return xi_n, inside, cand_dist[0]
+
+    V, chart_list = _domain_faces(el.domain)
     # vertices: zero-dimensional candidates
     for v in V:
         xi_v = jnp.broadcast_to(jnp.asarray(v, dtype), (B_, len(v)))
         cand_xi.append(xi_v)
         cand_dist.append(phys_dist(xi_v))
     # k-faces: Gauss-Newton in the face chart, feasibility-checked
-    for c, Bm, subdomain in charts:
+    for c, Bm, subdomain in chart_list:
         c_j = jnp.asarray(c, dtype)
         B_j = jnp.asarray(Bm, dtype)
         k = Bm.shape[1]
@@ -525,7 +534,32 @@ def _select_among_candidates(mesh: Mesh, points, cand, cand_dist, tol: float):
     cand_X = X_geo_all[safe_cand]  # [Q, k, m, d]
     flat_X = cand_X.reshape(Q * k, m, -1)
     flat_x = jnp.repeat(points, k, axis=0)
-    xi, inside, dist = closest_point_in_element(el, flat_X, flat_x, tol=tol)
+    # Cheap pre-pass (one Newton inversion): answers every query that lies
+    # *inside* some candidate exactly; only the remaining queries pay the
+    # ~25x boundary-chart enumeration (concrete inputs only — under
+    # tracing the full pass runs unconditionally).
+    concrete = not any(
+        isinstance(l, jax.core.Tracer)
+        for l in jax.tree_util.tree_leaves((points, cand, cand_dist))
+    )
+    if concrete:
+        xi, inside, dist = closest_point_in_element(
+            el, flat_X, flat_x, tol=tol, charts=False
+        )
+        covered = np.asarray(
+            (inside.reshape(Q, k) & np.asarray(cand >= 0)).any(axis=1)
+        )
+        if not covered.all():
+            idx_o = np.flatnonzero(~covered)
+            sel = jnp.asarray(np.repeat(idx_o * k, k) + np.tile(np.arange(k), len(idx_o)))
+            xi_o, inside_o, dist_o = closest_point_in_element(
+                el, flat_X[sel], flat_x[sel], tol=tol
+            )
+            xi = xi.at[sel].set(xi_o)
+            inside = inside.at[sel].set(inside_o)
+            dist = dist.at[sel].set(dist_o)
+    else:
+        xi, inside, dist = closest_point_in_element(el, flat_X, flat_x, tol=tol)
     xi = xi.reshape(Q, k, -1)
     dist = dist.reshape(Q, k)
     inside = inside.reshape(Q, k)
@@ -585,6 +619,20 @@ def find_closest_element(
             axis=-1,
         )
         d2 = jnp.where(cand < 0, jnp.inf, d2)
+        # Dedup per query: an element rasterized into several ring cells
+        # appears multiple times and would crowd out distinct candidates in
+        # the top-k (and near-always fail the `dropped` certification).
+        # Sort by element id, mark repeat runs (duplicates share one AABB
+        # distance, so keeping the first is exact); top_k ignores order.
+        order = jnp.argsort(cand, axis=1)
+        cand_s = jnp.take_along_axis(cand, order, axis=1)
+        d2_s = jnp.take_along_axis(d2, order, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros_like(cand_s[:, :1], bool), cand_s[:, 1:] == cand_s[:, :-1]],
+            axis=1,
+        )
+        cand = jnp.where(dup, -1, cand_s)
+        d2 = jnp.where(dup, jnp.inf, d2_s)
         k = min(num_candidates, cand.shape[1])
         kk = min(k + 1, cand.shape[1])
         neg_d2, sel = jax.lax.top_k(-d2, kk)
@@ -605,7 +653,7 @@ def find_closest_element(
         if unsafe.any():
             idx_u = np.flatnonzero(unsafe)
             sub = find_closest_element(
-                mesh, points[jnp.asarray(idx_u)], num_candidates=num_candidates
+                mesh, points[jnp.asarray(idx_u)], num_candidates=num_candidates, tol=tol
             )
             res = _merge_results(res, sub, idx_u)
         return res

@@ -275,9 +275,17 @@ class StructuredHyperelasticModel:
 
         if not isinstance(self.material, NeoHookeanMaterial):
             raise NotImplementedError("Pallas stencil path is Neo-Hookean only")
+        if self.dtype != jnp.float32:
+            # the stencil kernels compute in f32; silently downcasting an
+            # f64 model would break the solve_mixed outer-residual contract
+            raise NotImplementedError(
+                "Pallas stencil kernels are f32-only; use dtype=jnp.float32 "
+                "(f64 models must take the XLA path, e.g. pallas=False)"
+            )
 
     def _pallas_active(self) -> bool:
         if self.pallas is True:
+            self._check_pallas()  # loud error beats a silent f32 downcast
             return True
         if self.pallas != "auto":
             return False
@@ -507,7 +515,9 @@ class StructuredHyperelasticModel:
             backtracking_alphas,
         )
 
-        model64 = replace(self, dtype=jnp.float64)
+        # pallas=False: the f64 outer residual must run the XLA path (the
+        # Pallas kernels are f32-only and would silently downcast it)
+        model64 = replace(self, dtype=jnp.float64, pallas=False)
         # hoist tabulation/mask constants out of the jitted closure (see
         # CLAUDE.md: closure-constant slow path)
         u_probe = jnp.zeros(self.num_dofs, jnp.float64)
