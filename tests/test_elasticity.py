@@ -93,3 +93,19 @@ def test_solve_is_jittable():
     solve = jax.jit(lambda: model.solve(tolerance=1e-6).x)
     u = np.asarray(solve())
     assert np.isfinite(u).all()
+
+
+def test_preconditioner_cache_key_pins_object():
+    """Identity-keyed Newton cache entries must pin the preconditioner:
+    a bare id() key could be silently reused by a new object after GC,
+    resurrecting a stale closure-converted solve."""
+    model = _cantilever_model(NeoHookeanMaterial(), res=1)
+    inv_diag = 1.0 / model.hessian_diagonal(jnp.zeros(model.space.num_dofs))
+    prec = lambda v: inv_diag * v
+    res1 = model.solve(preconditioner=prec, tolerance=1e-9)
+    pins = getattr(model, "_newton_cache_pins")
+    assert any(p is prec for p in pins)
+    pid = id(prec)
+    del prec  # the pin must keep the id from being recycled
+    assert any(id(p) == pid for p in pins)
+    assert int(res1.status) == NEWTON_CONVERGED

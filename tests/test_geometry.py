@@ -450,3 +450,16 @@ def test_create_simple_stupid_sphere_api():
     v = tet.points[np.asarray(tet.cells)]
     vols = np.abs(np.linalg.det(v[:, 1:] - v[:, :1])) / 6.0
     assert abs(vols.sum() - vol) < 1e-9
+
+
+def test_convex_polygon_segment_contains_point():
+    """Degenerate 2-vertex polygon: membership means *on the segment*,
+    not inside the lone edge's half-plane (cf. polytope.rs:102)."""
+    from fenris_tpu.geometry.polygon import ConvexPolygon
+
+    seg = ConvexPolygon(np.array([[0.0, 0.0], [1.0, 0.0]]))
+    assert not seg.contains_point([0.5, -5.0])
+    assert not seg.contains_point([0.5, 0.5])
+    assert not seg.contains_point([1.5, 0.0], tol=1e-9)
+    assert seg.contains_point([0.5, 0.0], tol=1e-12)
+    assert seg.contains_point([0.25, 1e-13], tol=1e-12)

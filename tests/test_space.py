@@ -222,3 +222,31 @@ def test_find_closest_element_outside_matches_brute_force(rng):
         rtol=1e-8,
         atol=1e-10,
     )
+
+
+def test_find_closest_element_traced_matches_concrete(rng):
+    """The traced (jitted) grid path — no host certification available —
+    must agree with the concrete path; regression for ring-candidate
+    duplicates crowding distinct elements out of the top-k."""
+    import jax
+
+    from fenris_tpu.space import GridIndex
+
+    mesh = procedural.create_unit_box_uniform_hex_mesh_3d(4)
+    index = GridIndex.build(mesh, avg_elements_per_cell=0.25)  # fine grid:
+    # each element rasterizes into many cells -> heavy ring duplication
+    pts = rng.uniform(0.02, 0.98, size=(30, 3))
+
+    concrete = find_closest_element(mesh, jnp.asarray(pts), index=index)
+    traced = jax.jit(
+        lambda p: find_closest_element(mesh, p, index=index)
+    )(jnp.asarray(pts))
+    np.testing.assert_allclose(
+        np.asarray(traced.domain_distance),
+        np.asarray(concrete.domain_distance),
+        rtol=1e-8,
+        atol=1e-10,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(traced.element_indices), np.asarray(concrete.element_indices)
+    )

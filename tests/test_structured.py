@@ -186,3 +186,23 @@ def test_solve_mixed_mg_accuracy_16cubed():
     r0 = float(jnp.linalg.norm(m64.residual(jnp.zeros(m64.num_dofs))))
     rel = float(jnp.linalg.norm(m64.residual(res.x))) / r0
     assert rel < 1e-10, rel
+
+
+def test_pallas_f64_raises_instead_of_downcasting():
+    """pallas=True on an f64 model must raise loudly — the stencil kernels
+    compute in f32 and a silent downcast would corrupt solve_mixed's f64
+    outer residual."""
+    import pytest
+
+    from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+
+    m = StructuredHyperelasticModel(
+        cells=(4, 4, 4),
+        spacing=0.25,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.614, lam=576.923),
+        dtype=jnp.float64,
+        pallas=True,
+    )
+    with pytest.raises(NotImplementedError, match="f32-only"):
+        m.residual(jnp.zeros(m.num_dofs))
