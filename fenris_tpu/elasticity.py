@@ -81,6 +81,15 @@ class HyperelasticModel:
     banded: bool = False
     #: owned node range per banded block (multiple of 1024)
     banded_r_nodes: int = 4096
+    #: run the element math of the banded sweeps inside the fused Pallas
+    #: kernels (:mod:`..ops.em_sweep`) instead of the XLA element-minor
+    #: sweep — keeps every per-quadrature-point intermediate in VMEM.
+    #: Opt-in: requires TPU + f32 + broadcast (scalar) params + ``banded``;
+    #: anything else silently uses the XLA sweep.  First compile of the
+    #: ~600-op material body is expensive on the current Mosaic toolchain
+    #: (tens of minutes, persistently cached) — enable where the warmup
+    #: amortizes.
+    fused_kernels: bool = False
 
     def __post_init__(self):
         from .quadrature.canonical import canonical_stiffness
@@ -220,6 +229,14 @@ class HyperelasticModel:
         self._chunk_cache = cache
         return cache
 
+    def _fused_active(self) -> bool:
+        """Whether the fused Pallas element kernels replace the XLA sweep."""
+        if not self.fused_kernels or self._plan is None:
+            return False
+        from .ops import em_sweep
+
+        return em_sweep.supports(self.params) and self.space.X_geo.dtype == jnp.float32
+
     def _sweep_vector(self, u):
         """Internal-force element sweep, optionally chunked over elements."""
         n = self.mesh.element.num_nodes
@@ -228,21 +245,27 @@ class HyperelasticModel:
             from .assembly import local_em as LE
             from .ops import banded as B
 
-            u_el = B.gather(self._plan, u.reshape(-1, s))
-            f_el = self._banded_sweep(
-                u_el,
-                lambda Xc, uc, pc: jnp.transpose(
-                    LE.assemble_element_elliptic_vectors_em(
-                        jnp.transpose(Xc, (1, 2, 0)),
-                        jnp.transpose(uc, (1, 2, 0)),
+            fused = self._fused_active()
+            if fused:
+                from .ops import em_sweep as K
+
+            def assemble(Xc, uc, pc):
+                Xe = jnp.transpose(Xc, (1, 2, 0))
+                ue = jnp.transpose(uc, (1, 2, 0))
+                if fused:
+                    f = K.em_vector_sweep(Xe, ue, self.operator, pc, self.tab)
+                else:
+                    f = LE.assemble_element_elliptic_vectors_em(
+                        Xe,
+                        ue,
                         self.operator,
                         LE.params_to_element_minor(pc, uc.shape[0]),
                         self.tab,
-                    ),
-                    (2, 0, 1),
-                ).reshape(uc.shape[0], n * s),
-                n * s,
-            )
+                    )
+                return jnp.transpose(f, (2, 0, 1)).reshape(uc.shape[0], n * s)
+
+            u_el = B.gather(self._plan, u.reshape(-1, s))
+            f_el = self._banded_sweep(u_el, assemble, n * s)
             pe = self._plan.padded_elements
             return B.scatter_add(self._plan, f_el.reshape(pe, n, s)).reshape(-1)
         if self.chunk_size is None:
@@ -337,23 +360,30 @@ class HyperelasticModel:
 
         n = self.mesh.element.num_nodes
         s = self.mesh.dim
+        fused = self._fused_active()
+        if fused:
+            from .ops import em_sweep as K
         u_el = B.gather(self._plan, u.reshape(-1, s))
         v_el = B.gather(self._plan, v.reshape(-1, s))
         uv_el = jnp.concatenate([u_el, v_el], axis=1)  # [pe, 2n, s]
 
         def assemble(Xc, uvc, pc):
             uc, vc = uvc[:, :n], uvc[:, n:]
-            return jnp.transpose(
-                LE.assemble_element_elliptic_tangent_vectors_em(
-                    jnp.transpose(Xc, (1, 2, 0)),
-                    jnp.transpose(uc, (1, 2, 0)),
-                    jnp.transpose(vc, (1, 2, 0)),
+            Xe = jnp.transpose(Xc, (1, 2, 0))
+            ue = jnp.transpose(uc, (1, 2, 0))
+            ve = jnp.transpose(vc, (1, 2, 0))
+            if fused:
+                f = K.em_vector_tangent_sweep(Xe, ue, ve, self.operator, pc, self.tab)
+            else:
+                f = LE.assemble_element_elliptic_tangent_vectors_em(
+                    Xe,
+                    ue,
+                    ve,
                     self.operator,
                     LE.params_to_element_minor(pc, uc.shape[0]),
                     self.tab,
-                ),
-                (2, 0, 1),
-            ).reshape(uc.shape[0], n * s)
+                )
+            return jnp.transpose(f, (2, 0, 1)).reshape(uc.shape[0], n * s)
 
         f_el = self._banded_sweep(uv_el, assemble, n * s)
         pe = self._plan.padded_elements

@@ -58,3 +58,44 @@ def test_em_kernels_match_xla_sweep(interpret_pallas, rng):
     # closed-form tangent kernel (the VMEM-lean production candidate)
     df_t = np.asarray(em_vector_tangent_sweep(X, u, v, op, params, tab))
     np.testing.assert_allclose(df_t, np.asarray(df_ref), rtol=0, atol=1e-5)
+
+
+def test_fused_kernels_wiring_matches_banded_xla(interpret_pallas, monkeypatch, rng):
+    """HyperelasticModel(fused_kernels=True) reproduces the XLA banded path.
+
+    Exercises the elasticity.py plumbing (layout transposes, param
+    passing, scatter) with the Pallas kernels in interpreter mode — the
+    on-TPU supports() gate is bypassed so the fused branch runs on CPU.
+    """
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.mesh import reorder
+    from fenris_tpu.ops import em_sweep
+
+    monkeypatch.setattr(
+        em_sweep,
+        "supports",
+        lambda p: all(
+            not (hasattr(x, "ndim") and x.ndim >= 1)
+            for x in jax.tree_util.tree_leaves(p)
+        ),
+    )
+    mesh, _ = reorder.reorder_mesh(create_unit_box_uniform_hex_mesh_3d(6))
+    kw = dict(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=jnp.float32(384.0), lam=jnp.float32(577.0)),
+        dirichlet_nodes=np.arange(49),
+        dtype=jnp.float32,
+        banded=True,
+        banded_r_nodes=1024,
+    )
+    m_xla = HyperelasticModel(**kw)
+    m_fused = HyperelasticModel(**kw, fused_kernels=True)
+    assert m_fused._fused_active() and not m_xla._fused_active()
+    u = jnp.asarray(rng.uniform(-0.01, 0.01, m_xla.space.num_dofs), jnp.float32)
+    v = jnp.asarray(rng.standard_normal(m_xla.space.num_dofs), jnp.float32)
+    r0, r1 = np.asarray(m_xla.residual(u)), np.asarray(m_fused.residual(u))
+    np.testing.assert_allclose(r1, r0, rtol=0, atol=5e-6)
+    h0 = np.asarray(m_xla.hessian_vector_product(u, v))
+    h1 = np.asarray(m_fused.hessian_vector_product(u, v))
+    np.testing.assert_allclose(h1, h0, rtol=0, atol=5e-4 * np.abs(h0).max())
