@@ -67,7 +67,9 @@ class StructuredHyperelasticModel:
         spacing: uniform cell edge length h.
         material/params: as in HyperelasticModel.
         dirichlet_mask: boolean [num_nodes * 3] (True = constrained) or None.
-        body_force: constant [3] body force density or None.
+        body_force: constant [3] body force density, a callable
+            ``f(x, params) -> [3]`` evaluated at quadrature points
+            (spatially varying loads, manufactured solutions), or None.
     """
 
     cells: Tuple[int, int, int]
@@ -114,6 +116,8 @@ class StructuredHyperelasticModel:
         detJ = (h / 2.0) ** 3
         self.wdet = jnp.asarray(tab.weights * detJ, self.dtype)  # [q]
         self.gp = jnp.asarray(tab.dphi * (2.0 / h), self.dtype)  # [q, n, d]
+        self.phi = jnp.asarray(tab.phi, self.dtype)  # [q, n]
+        self._qp_ref = np.asarray(tab.points)  # [q, 3] in [-1, 1]^3
         self.q = tab.num_points
 
         if self.dirichlet_mask is not None:
@@ -164,9 +168,55 @@ class StructuredHyperelasticModel:
             )
         return out
 
+    def _qp_coords(self):
+        """Physical quadrature-point coordinates, grid-minor [q, 3, zc, yc, xc].
+
+        The box spans [0, nc*h] per axis; element (k, j, i) maps the
+        reference hex [-1, 1]^3 affinely with J = (h/2) I.
+        """
+        ncx, ncy, ncz = self.cells
+        h = float(self.spacing)
+        npdt = np.float64 if self.dtype == jnp.float64 else np.float32
+        qp = self._qp_ref  # [q, 3], (x, y, z) components
+        cx = ((np.arange(ncx) + (qp[:, 0:1] + 1.0) / 2.0) * h).astype(npdt)
+        cy = ((np.arange(ncy) + (qp[:, 1:2] + 1.0) / 2.0) * h).astype(npdt)
+        cz = ((np.arange(ncz) + (qp[:, 2:3] + 1.0) / 2.0) * h).astype(npdt)
+        q = qp.shape[0]
+        X = np.zeros((q, 3, ncz, ncy, ncx), dtype=npdt)
+        X[:, 0] = cx[:, None, None, :]
+        X[:, 1] = cy[:, None, :, None]
+        X[:, 2] = cz[:, :, None, None]
+        return jnp.asarray(X)
+
+    def _eval_at_qps(self, fn):
+        """Evaluate ``fn(x) -> [s]`` at all quadrature points -> [q, s, zc, yc, xc]."""
+        X = self._qp_coords()
+        q = X.shape[0]
+        pts = jnp.moveaxis(X, 1, -1).reshape(-1, 3)  # [q*E, 3]
+        vals = jax.jit(jax.vmap(fn))(pts).astype(self.dtype)  # [q*E, s]
+        s = vals.shape[-1]
+        return jnp.moveaxis(vals.reshape((q,) + tuple(self.cells[::-1]) + (s,)), -1, 1)
+
+    def l2_error(self, u, u_exact) -> float:
+        """Quadrature L2 norm of (u_h - u_exact) over the box.
+
+        ``u_exact(x) -> [3]``; same estimator as error.rs:313 specialized
+        to the uniform grid (exact for the stiffness rule's strength).
+        """
+        U = self._gather_elements(self._grid(jnp.asarray(u, self.dtype)))
+        uh_q = jnp.einsum("qn,ns...->qs...", self.phi, U)  # [q, s, zc, yc, xc]
+        ue_q = self._eval_at_qps(u_exact)
+        d = uh_q - ue_q
+        return float(jnp.sqrt(jnp.einsum("q,qszyx->", self.wdet, d * d)))
+
     def _external_forces(self):
         if self.body_force is None:
             return jnp.zeros(self.num_dofs, self.dtype)
+        if callable(self.body_force):
+            # spatially varying load: f_ext[I] = sum_el sum_q w detJ phi_I(q) f(x_q)
+            Fq = self._eval_at_qps(lambda x: self.body_force(x, self.params))
+            f_el = jnp.einsum("q,qn,qs...->ns...", self.wdet, self.phi, Fq)
+            return self._ungrid(self._scatter_nodes(f_el))
         b = jnp.asarray(self.body_force, self.dtype)
         f_el_node = jnp.sum(self.wdet) / 8.0 * b  # [3]
         ones_el = jnp.broadcast_to(

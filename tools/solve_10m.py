@@ -92,6 +92,55 @@ def run_case(cells_per_dim: int, tolerance: float = 1e-10) -> dict:
     }
 
 
+def run_mms_case(cells_per_dim: int, tolerance: float = 1e-10) -> dict:
+    """Manufactured-solution accuracy check (nonlinear MMS, solid/mms.py).
+
+    Full-boundary clamp + autodiff-derived body force for a smooth exact
+    displacement; reports the quadrature L2 error vs u_exact, which must
+    shrink at O(h^2) between consecutive grids.
+    """
+    import jax.numpy as jnp
+
+    from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+    from fenris_tpu.solid.mms import (
+        manufactured_body_force,
+        sine_bubble_displacement,
+    )
+    from fenris_tpu.structured import StructuredHyperelasticModel
+
+    c = cells_per_dim
+    shape = (c + 1, c + 1, c + 1)
+    m = np.zeros(shape, dtype=bool)
+    m[0], m[-1] = True, True
+    m[:, 0], m[:, -1] = True, True
+    m[:, :, 0], m[:, :, -1] = True, True
+    params = LameParameters(mu=384.614, lam=576.923)
+    u_exact = sine_bubble_displacement()
+    model = StructuredHyperelasticModel(
+        cells=(c, c, c),
+        spacing=1.0 / c,
+        material=NeoHookeanMaterial(),
+        params=params,
+        dirichlet_mask=np.repeat(m.reshape(-1), 3),
+        body_force=manufactured_body_force(NeoHookeanMaterial(), params, u_exact),
+        dtype=jnp.float32,
+    )
+    print(f"[mms {c}^3] solving ({model.num_dofs} dofs)", flush=True)
+    t0 = time.perf_counter()
+    res = model.solve_mixed(tolerance=tolerance, preconditioner="mg",
+                            max_newton_iterations=40)
+    wall = time.perf_counter() - t0
+    err = model.l2_error(jnp.asarray(np.asarray(res.x), jnp.float32), u_exact)
+    return {
+        "cells": c,
+        "dofs": int(model.num_dofs),
+        "newton_iterations": int(res.iterations),
+        "reported_residual_norm": float(res.residual_norm),
+        "l2_error_vs_exact": err,
+        "wall_seconds": round(wall, 1),
+    }
+
+
 def main() -> None:
     import jax
 
@@ -104,6 +153,16 @@ def main() -> None:
         case = run_case(c)
         print(json.dumps(case), flush=True)
         out["cases"].append(case)
+    # nonlinear MMS accuracy chain: L2 error vs the exact manufactured
+    # displacement must fall at O(h^2) between consecutive grids
+    try:
+        out["mms_cases"] = [run_mms_case(c) for c in ladder[:2]]
+        if len(out["mms_cases"]) == 2:
+            e0, e1 = (x["l2_error_vs_exact"] for x in out["mms_cases"])
+            out["mms_observed_order"] = float(np.log2(e0 / e1))
+        print(json.dumps(out.get("mms_cases")), flush=True)
+    except Exception as e:  # keep the primary artifact even if MMS fails
+        out["mms_error"] = f"{type(e).__name__}: {e}"
     # physics cross-check: energy difference between consecutive grids is
     # O(h^2); record the observed ratios
     if len(out["cases"]) >= 2:
