@@ -65,47 +65,62 @@ def params_to_element_minor(params, E: int):
     )
 
 
-def _params_axis(params, E: int):
-    """Per-leaf vmap axis, keyed on an explicit element-count match.
+def _params_levels(params, batch_shape):
+    """Per-leaf count of trailing dims matching the element batch shape.
 
-    Element-minor convention: a leaf whose *last* dim equals ``E`` is
-    per-element (mapped at axis -1, e.g. ``[E]`` scalars or ``[k, E]``
-    vectors); anything else broadcasts as a constant.  Per-quadrature-point
-    payloads are not supported on this path — an ``[E, q]`` standard-layout
-    leaf therefore reaches the operator unmapped and fails loudly with a
-    shape error (transpose per-element leaves to element-minor instead).
+    Element-minor convention: a leaf whose trailing dims equal the last
+    ``k`` dims of ``batch_shape`` is per-element over those axes — e.g.
+    ``[E]`` scalars or ``[c, E]`` vectors on the XLA sweep (batch ``(E,)``),
+    or ``[8, 128]`` tiles inside the fused Pallas kernels (batch
+    ``(8, 128)``).  Anything else broadcasts as a constant.
+    Per-quadrature-point payloads are not supported on this path — an
+    ``[E, q]`` standard-layout leaf reaches the operator unmapped and
+    fails loudly with a shape error (transpose per-element leaves to
+    element-minor instead).
     """
+    nb = len(batch_shape)
+
+    def k_of(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return 0
+        k = 0
+        while (
+            k < min(x.ndim, nb) and x.shape[x.ndim - 1 - k] == batch_shape[nb - 1 - k]
+        ):
+            k += 1
+        return k
+
     if params is None:
         return None
-    return jax.tree_util.tree_map(
-        lambda x: -1
-        if (hasattr(x, "ndim") and x.ndim >= 1 and x.shape[-1] == E)
-        else None,
-        params,
-    )
+    return jax.tree_util.tree_map(k_of, params)
 
 
-def _pointwise_map(fn, params, nbatch, E: int):
-    """vmap ``fn(G, params)`` over ``nbatch`` trailing batch axes of G.
+def _level_axes(klev, nbatch, i):
+    """in_axes tree for vmap level ``i`` (``i = nbatch - 1`` is outermost):
+    a leaf with ``k`` matching trailing dims maps at the ``k`` outermost
+    levels and broadcasts below."""
+    if klev is None:
+        return None
+    return jax.tree_util.tree_map(lambda k: -1 if k >= nbatch - i else None, klev)
 
-    Inner layers broadcast scalar params (axis None); only the outermost
-    batch axis (the element axis ``E``) maps per-element params.
-    """
-    p_ax = _params_axis(params, E)
+
+def _pointwise_map(fn, params, nbatch, batch_shape):
+    """vmap ``fn(G, params)`` over ``nbatch`` trailing batch axes of G."""
+    klev = _params_levels(params, batch_shape)
     out = fn
     for i in range(nbatch):
-        ax = p_ax if i == nbatch - 1 else None
-        out = jax.vmap(out, in_axes=(-1, ax), out_axes=-1)
+        out = jax.vmap(out, in_axes=(-1, _level_axes(klev, nbatch, i)), out_axes=-1)
     return out
 
 
-def _pointwise_map2(fn, params, nbatch, E: int):
+def _pointwise_map2(fn, params, nbatch, batch_shape):
     """Like :func:`_pointwise_map` for two-point functions ``fn(G, dG, params)``."""
-    p_ax = _params_axis(params, E)
+    klev = _params_levels(params, batch_shape)
     out = fn
     for i in range(nbatch):
-        ax = p_ax if i == nbatch - 1 else None
-        out = jax.vmap(out, in_axes=(-1, -1, ax), out_axes=-1)
+        out = jax.vmap(
+            out, in_axes=(-1, -1, _level_axes(klev, nbatch, i)), out_axes=-1
+        )
     return out
 
 
@@ -231,7 +246,7 @@ def elliptic_vector_qp(X_em, u_em, op, params, gd_q, dphi_q, w_q):
     n, s = u_em.shape[0], u_em.shape[1]
     X = [[X_em[mm, dd] for dd in range(d)] for mm in range(m)]
     gfun = _pointwise_map(
-        lambda GG, p: op.g(GG, p), params, _nbatch(X_em), X_em.shape[-1]
+        lambda GG, p: op.g(GG, p), params, _nbatch(X_em), X_em.shape[2:]
     )
     gp, wdet = _qp_geometry(X, gd_q, dphi_q, w_q, d, m, n)
     Gq = _u_grad(gp, u_em, n, d, s)
@@ -265,7 +280,7 @@ def elliptic_vector_tangent_qp(X_em, u_em, v_em, op, params, gd_q, dphi_q, w_q):
         lambda GG, dGG, p: op.g_tangent(GG, dGG, p),
         params,
         _nbatch(X_em),
-        X_em.shape[-1],
+        X_em.shape[2:],
     )
     gp, wdet = _qp_geometry(X, gd_q, dphi_q, w_q, d, m, n)
     Gq = _u_grad(gp, u_em, n, d, s)
@@ -327,7 +342,7 @@ def compute_element_elliptic_energy_em(X_em, u_em, op, params, tab: Tabulation):
     m, d, n, s = _shapes(X_em, tab, op)
     X = [[X_em[mm, dd] for dd in range(d)] for mm in range(m)]
     efun = _pointwise_map(
-        lambda GG, p: op.energy(GG, p), params, _nbatch(X_em), X_em.shape[-1]
+        lambda GG, p: op.energy(GG, p), params, _nbatch(X_em), X_em.shape[2:]
     )
 
     def qp(carry, gd_q, dphi_q, w_q):
@@ -348,7 +363,7 @@ def elliptic_matrix_diagonal_em(X_em, u_em, op, params, tab: Tabulation):
     m, d, n, s = _shapes(X_em, tab, op)
     X = [[X_em[mm, dd] for dd in range(d)] for mm in range(m)]
     dfun = _pointwise_map(
-        lambda GG, p: op.contraction(GG, p), params, _nbatch(X_em), X_em.shape[-1]
+        lambda GG, p: op.contraction(GG, p), params, _nbatch(X_em), X_em.shape[2:]
     )
 
     def qp(carry, gd_q, dphi_q, w_q):

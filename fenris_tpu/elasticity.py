@@ -235,7 +235,10 @@ class HyperelasticModel:
             return False
         from .ops import em_sweep
 
-        return em_sweep.supports(self.params) and self.space.X_geo.dtype == jnp.float32
+        return (
+            em_sweep.supports(self.params, self.mesh.num_cells)
+            and self.space.X_geo.dtype == jnp.float32
+        )
 
     def _sweep_vector(self, u):
         """Internal-force element sweep, optionally chunked over elements."""

@@ -61,14 +61,66 @@ _TILE = (8, 128)
 _ET = _TILE[0] * _TILE[1]
 
 
-def supports(params) -> bool:
-    """Kernel path preconditions: TPU backend + broadcast (scalar) params."""
+def supports(params, num_elements=None) -> bool:
+    """Kernel path preconditions: TPU backend + scalar or per-element params.
+
+    Per-element ``[E]`` leaves (``num_elements`` must be given) ride into
+    the kernel as tiled operands; per-quadrature-point payloads stay on
+    the XLA sweep.
+    """
     if jax.default_backend() != "tpu":
         return False
     return all(
         not (hasattr(x, "ndim") and x.ndim >= 1)
+        or (
+            num_elements is not None
+            and x.ndim == 1
+            and x.shape[0] == num_elements
+        )
         for x in jax.tree_util.tree_leaves(params)
     )
+
+
+def _prep_params(params, E):
+    """Split params into per-element tile operands + a kernel-side rebuild.
+
+    Array leaves — per-element ``[E]`` vectors and 0-d device scalars
+    (which may be tracers inside jitted solvers, and which pallas rejects
+    as captured constants either way) — are broadcast/padded to
+    ``[Et, 8, 128]`` and passed as kernel operands; the kernel reads one
+    ``[8, 128]`` tile per grid step, which
+    :func:`..assembly.local_em._params_levels` maps over both batch axes.
+    Python/numpy number leaves stay closure constants (inlined literals).
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    leaves = list(leaves)
+    idx, tiles = [], []
+    for i, x in enumerate(leaves):
+        if isinstance(x, jax.Array):
+            if x.ndim == 0:
+                xe = jnp.broadcast_to(x.astype(jnp.float32), (E,))
+            elif x.ndim == 1 and x.shape[0] == E:
+                xe = x.astype(jnp.float32)
+            else:
+                raise ValueError(
+                    f"unsupported param leaf shape {x.shape} for the fused "
+                    f"element kernels (scalar or [{E}] expected)"
+                )
+            idx.append(i)
+            tiles.append(_pad_tiles(xe, E)[0])
+        elif hasattr(x, "ndim") and x.ndim == 1 and x.shape[0] == E:
+            idx.append(i)
+            tiles.append(_pad_tiles(jnp.asarray(x, jnp.float32), E)[0])
+        elif hasattr(x, "ndim") and x.ndim == 0:
+            leaves[i] = float(x)  # numpy scalar -> inlined literal
+
+    def rebuild(tile_vals):
+        merged = list(leaves)
+        for i, tv in zip(idx, tile_vals):
+            merged[i] = tv
+        return jax.tree_util.tree_unflatten(treedef, merged)
+
+    return tiles, rebuild
 
 
 def _pad_tiles(x, E):
@@ -85,9 +137,11 @@ def _unpad_tiles(x, E):
     return x.reshape(*x.shape[:-3], -1)[..., :E]
 
 
-def _vector_kernel(op, params, tab, gd_ref, dp_ref, w_ref, x_ref, u_ref, o_ref):
+def _vector_kernel(op, rebuild, npar, tab, gd_ref, dp_ref, w_ref, x_ref, u_ref, *rest):
     import jax.experimental.pallas as pl
 
+    p_refs, o_ref = rest[:npar], rest[npar]
+    params = rebuild([r[0] for r in p_refs])
     X_em = x_ref[:, :, 0]
     u_em = u_ref[:, :, 0]
     q = gd_ref.shape[0]
@@ -105,9 +159,13 @@ def _vector_kernel(op, params, tab, gd_ref, dp_ref, w_ref, x_ref, u_ref, o_ref):
     jax.lax.fori_loop(0, q, body, 0)
 
 
-def _vector_jvp_kernel(op, params, tab, gd_ref, dp_ref, w_ref, x_ref, u_ref, v_ref, o_ref):
+def _vector_jvp_kernel(
+    op, rebuild, npar, tab, gd_ref, dp_ref, w_ref, x_ref, u_ref, v_ref, *rest
+):
     import jax.experimental.pallas as pl
 
+    p_refs, o_ref = rest[:npar], rest[npar]
+    params = rebuild([r[0] for r in p_refs])
     X_em = x_ref[:, :, 0]
     u_em = u_ref[:, :, 0]
     v_em = v_ref[:, :, 0]
@@ -130,7 +188,7 @@ def _vector_jvp_kernel(op, params, tab, gd_ref, dp_ref, w_ref, x_ref, u_ref, v_r
 
 
 def _vector_tangent_kernel(
-    op, params, tab, gd_ref, dp_ref, w_ref, x_ref, u_ref, v_ref, o_ref
+    op, rebuild, npar, tab, gd_ref, dp_ref, w_ref, x_ref, u_ref, v_ref, *rest
 ):
     """Closed-form tangent sweep (VERDICT r1 route (b)): the live set is a
     single tangent-stress evaluation per point — no traced-jvp pairing of
@@ -138,6 +196,8 @@ def _vector_tangent_kernel(
     :func:`_vector_jvp_kernel` variant."""
     import jax.experimental.pallas as pl
 
+    p_refs, o_ref = rest[:npar], rest[npar]
+    params = rebuild([r[0] for r in p_refs])
     X_em = x_ref[:, :, 0]
     u_em = u_ref[:, :, 0]
     v_em = v_ref[:, :, 0]
@@ -172,10 +232,12 @@ def _call(kernel, out_nodes, s, tab, operands, Et):
     tab_specs = [
         pl.BlockSpec(t.shape, lambda e, nd=t.ndim: (0,) * nd) for t in tabs
     ]
+    # operands are [..., Et, 8, 128]: one tile of elements per grid step,
+    # leading dims (node/component axes; absent for param tiles) whole
     specs = [
         pl.BlockSpec(
-            (x.shape[0], x.shape[1], 1) + _TILE,
-            lambda e: (0, 0, e, 0, 0),
+            x.shape[:-3] + (1,) + _TILE,
+            lambda e, nl=x.ndim - 3: (0,) * nl + (e, 0, 0),
         )
         for x in operands
     ]
@@ -203,7 +265,15 @@ def em_vector_sweep(X_em, u_em, op, params, tab: Tabulation):
     n, s = u_em.shape[0], u_em.shape[1]
     Xt, Et = _pad_tiles(X_em.astype(jnp.float32), E)
     ut, _ = _pad_tiles(u_em.astype(jnp.float32), E)
-    out = _call(partial(_vector_kernel, op, params, tab), n, s, tab, (Xt, ut), Et)
+    ptiles, rebuild = _prep_params(params, E)
+    out = _call(
+        partial(_vector_kernel, op, rebuild, len(ptiles), tab),
+        n,
+        s,
+        tab,
+        (Xt, ut, *ptiles),
+        Et,
+    )
     return _unpad_tiles(out, E)
 
 
@@ -225,8 +295,14 @@ def em_vector_jvp_sweep(X_em, u_em, v_em, op, params, tab: Tabulation):
     Xt, Et = _pad_tiles(X_em.astype(jnp.float32), E)
     ut, _ = _pad_tiles(u_em.astype(jnp.float32), E)
     vt, _ = _pad_tiles(v_em.astype(jnp.float32), E)
+    ptiles, rebuild = _prep_params(params, E)
     out = _call(
-        partial(_vector_jvp_kernel, op, params, tab), n, s, tab, (Xt, ut, vt), Et
+        partial(_vector_jvp_kernel, op, rebuild, len(ptiles), tab),
+        n,
+        s,
+        tab,
+        (Xt, ut, vt, *ptiles),
+        Et,
     )
     return _unpad_tiles(out, E)
 
@@ -248,7 +324,13 @@ def em_vector_tangent_sweep(X_em, u_em, v_em, op, params, tab: Tabulation):
     Xt, Et = _pad_tiles(X_em.astype(jnp.float32), E)
     ut, _ = _pad_tiles(u_em.astype(jnp.float32), E)
     vt, _ = _pad_tiles(v_em.astype(jnp.float32), E)
+    ptiles, rebuild = _prep_params(params, E)
     out = _call(
-        partial(_vector_tangent_kernel, op, params, tab), n, s, tab, (Xt, ut, vt), Et
+        partial(_vector_tangent_kernel, op, rebuild, len(ptiles), tab),
+        n,
+        s,
+        tab,
+        (Xt, ut, vt, *ptiles),
+        Et,
     )
     return _unpad_tiles(out, E)

@@ -60,6 +60,31 @@ def test_em_kernels_match_xla_sweep(interpret_pallas, rng):
     np.testing.assert_allclose(df_t, np.asarray(df_ref), rtol=0, atol=1e-5)
 
 
+def test_em_kernels_per_element_params(interpret_pallas, rng):
+    """[E] param leaves ride into the kernels as tiled operands."""
+    mesh = create_unit_box_uniform_hex_mesh_3d(10)
+    op = MaterialEllipticOperator(NeoHookeanMaterial(), dim=3)
+    E = mesh.num_cells
+    params = LameParameters(
+        mu=jnp.asarray(rng.uniform(300.0, 500.0, E), jnp.float32),
+        lam=jnp.float32(576.923),
+    )
+    tab = L.tabulate(mesh.element, canonical_stiffness(mesh.element))
+    X = jnp.asarray(np.transpose(mesh.cell_points(), (1, 2, 0)), jnp.float32)
+    u = jnp.asarray(rng.uniform(-0.001, 0.001, (8, 3, E)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1.0, 1.0, (8, 3, E)), jnp.float32)
+
+    f_ref = np.asarray(LE.assemble_element_elliptic_vectors_em(X, u, op, params, tab))
+    f_k = np.asarray(em_vector_sweep(X, u, op, params, tab))
+    np.testing.assert_allclose(f_k, f_ref, rtol=0, atol=1e-7)
+
+    df_ref = np.asarray(
+        LE.assemble_element_elliptic_tangent_vectors_em(X, u, v, op, params, tab)
+    )
+    df_t = np.asarray(em_vector_tangent_sweep(X, u, v, op, params, tab))
+    np.testing.assert_allclose(df_t, df_ref, rtol=0, atol=1e-5)
+
+
 def test_fused_kernels_wiring_matches_banded_xla(interpret_pallas, monkeypatch, rng):
     """HyperelasticModel(fused_kernels=True) reproduces the XLA banded path.
 
@@ -71,19 +96,25 @@ def test_fused_kernels_wiring_matches_banded_xla(interpret_pallas, monkeypatch, 
     from fenris_tpu.mesh import reorder
     from fenris_tpu.ops import em_sweep
 
+    # bypass only the TPU-backend condition of supports()
     monkeypatch.setattr(
         em_sweep,
         "supports",
-        lambda p: all(
+        lambda p, n=None: all(
             not (hasattr(x, "ndim") and x.ndim >= 1)
+            or (n is not None and x.ndim == 1 and x.shape[0] == n)
             for x in jax.tree_util.tree_leaves(p)
         ),
     )
     mesh, _ = reorder.reorder_mesh(create_unit_box_uniform_hex_mesh_3d(6))
+    # per-element mu exercises the tiled param-operand path end-to-end
+    mu_el = jnp.asarray(
+        384.0 * (1.0 + 0.2 * np.sin(np.arange(mesh.num_cells))), jnp.float32
+    )
     kw = dict(
         mesh=mesh,
         material=NeoHookeanMaterial(),
-        params=LameParameters(mu=jnp.float32(384.0), lam=jnp.float32(577.0)),
+        params=LameParameters(mu=mu_el, lam=jnp.float32(577.0)),
         dirichlet_nodes=np.arange(49),
         dtype=jnp.float32,
         banded=True,
