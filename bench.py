@@ -206,6 +206,11 @@ def bench_spmv(res: int = 69):
 
 def main() -> None:
     import jax
+
+    # persistent cache: Mosaic kernel compiles are ~4-9 min per (kernel,
+    # shape) cold; cached runs start instantly
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
     import jax.numpy as jnp
 
     from fenris_tpu.solid import LameParameters, NeoHookeanMaterial

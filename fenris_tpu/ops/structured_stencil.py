@@ -34,6 +34,18 @@ variables (x64 mode) hit an infinite recursion in Mosaic's conversion
 helper, and deep traced expressions need a raised Python recursion limit.
 `StructuredHyperelasticModel(pallas="auto")` dispatches here for f32
 Neo-Hookean models on the TPU backend.
+
+**Known toolchain landmine — multi-lane-tile-column planes (nx > 128):**
+when the padded node-plane x-extent exceeds 128 lanes (e.g. 153^3 grids
+pad x to 256), these kernels still run correctly *in isolation* (100
+chained calls verified), but alternating them with a large XLA program
+(e.g. an MG V-cycle) reliably faults the TPU worker on the second
+alternation — isolated on v5e with the minimal A/M/A/M repro; suspected
+DMA-state interaction in the runtime, independent of vmem_limit_bytes
+(64MB and 110MB both fault).  Until fixed upstream, keep structured
+grids' x node-extent <= 128 (orient the long axis along z — the z-slab
+grid dimension imposes no such limit), as tools/solve_10m.py does for
+its 10.9M-dof case.
 """
 
 from __future__ import annotations
@@ -354,6 +366,11 @@ def neo_hookean_hvp_pallas(u_grid, v_grid, spacing, mu, lam, KZ: int = 8):
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
+            # large planes (e.g. 153^2 -> 160x256 padded at 10M dofs)
+            # exceed the 16MB default scoped-vmem limit
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
         )(u_p, v_p)
     return out[:, :nz, :ny0, :nx0]
 
@@ -445,5 +462,10 @@ def neo_hookean_residual_pallas(u_grid, spacing, mu, lam, KZ: int = 8):
                 pltpu.VMEM((3, KZ + 2, ny, nx), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
+            # large planes (e.g. 153^2 -> 160x256 padded at 10M dofs)
+            # exceed the 16MB default scoped-vmem limit
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
         )(u_p)
     return out[:, :nz, :ny0, :nx0]

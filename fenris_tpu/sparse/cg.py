@@ -18,6 +18,7 @@ from typing import Callable, NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["conjugate_gradient", "CgResult", "CG_CONVERGED", "CG_MAX_ITER", "CG_INDEFINITE_OPERATOR", "CG_INDEFINITE_PRECONDITIONER"]
 
@@ -66,6 +67,7 @@ def conjugate_gradient(
     rel_tolerance: float = 1e-8,
     max_iter: Optional[int] = None,
     check_definiteness: bool = True,
+    host_loop: bool = False,
 ) -> CgResult:
     """Solve ``A x = b`` for SPD ``A`` with (optionally preconditioned) CG.
 
@@ -73,6 +75,16 @@ def conjugate_gradient(
     Stopping criterion: ``||r_k|| <= rel_tolerance * ||b||`` using the
     approximate (recursively updated) residual, matching
     ``RelativeResidualCriterion`` (cg.rs:107-125).
+
+    ``host_loop=True`` runs the same algorithm with the iteration driven
+    from the host: the operator, the preconditioner, and the vector
+    updates execute as *separate* device programs (2 scalar readbacks per
+    iteration).  Use for very large models whose operator is a Pallas
+    kernel and whose preconditioner is a large unrolled program (e.g.
+    multigrid): fusing both into one ``while_loop`` body has faulted the
+    TPU worker at ≥10M dofs (XLA/Mosaic scoped-VMEM interaction), while
+    the split programs are reliable; the per-iteration dispatch overhead
+    is negligible against ≥10ms operator applications.
     """
     A = _as_operator(operator)
     M = _as_operator(preconditioner) if preconditioner is not None else None
@@ -97,6 +109,12 @@ def conjugate_gradient(
     else:
         M_conv, m_consts = None, ()
 
+    if host_loop:
+        return _cg_host(
+            A_conv, a_consts, M_conv, m_consts, b, x0,
+            rel_tolerance, int(max_iter), bool(check_definiteness),
+        )
+
     def run(a_consts, m_consts, b, x0):
         A_fn = lambda v: A_conv(v, *a_consts)
         M_fn = (lambda v: M_conv(v, *m_consts)) if M_conv is not None else None
@@ -105,6 +123,87 @@ def conjugate_gradient(
         )
 
     return jax.jit(run)(a_consts, m_consts, b, x0)
+
+
+@jax.jit
+def _host_residual(b, Ax):
+    r = b - Ax
+    return r, jnp.linalg.norm(r)
+
+
+@jax.jit
+def _host_alpha_update(p, Ap, x, r, rz):
+    pAp = jnp.vdot(p, Ap)
+    alpha = rz / pAp
+    x1 = x + alpha * p
+    r1 = r - alpha * Ap
+    # one stacked readback: [pAp, ||r1||, ||p||]
+    stats = jnp.stack([pAp, jnp.linalg.norm(r1), jnp.linalg.norm(p)])
+    return x1, r1, stats
+
+
+@jax.jit
+def _host_beta_update(r1, z1, p, rz):
+    rz1 = jnp.vdot(r1, z1)
+    p1 = z1 + (rz1 / rz) * p
+    return p1, rz1
+
+
+def _cg_host(A_conv, a_consts, M_conv, m_consts, b, x0,
+             rel_tolerance, max_iter, check_definiteness):
+    """Host-driven PCG (see ``conjugate_gradient(host_loop=True)``).
+
+    Identical algorithm and status taxonomy as :func:`_cg_loop`; the loop
+    runs in Python with jitted stages, so the operator (e.g. a Pallas
+    stencil kernel) and the preconditioner (e.g. an MG V-cycle) never
+    share one XLA program.
+    """
+    A = jax.jit(lambda consts, v: A_conv(v, *consts))
+    M = None if M_conv is None else jax.jit(lambda consts, v: M_conv(v, *consts))
+
+    b_norm = float(jnp.linalg.norm(b))
+    tol = float(rel_tolerance) * b_norm
+
+    x = x0
+    r, r_norm = _host_residual(b, A(a_consts, x0))
+    if float(r_norm) <= tol:
+        return CgResult(
+            x=x,
+            num_iterations=jnp.zeros((), jnp.int32),
+            status=jnp.asarray(CG_CONVERGED, jnp.int32),
+            residual_norm=r_norm,
+        )
+    z = M(m_consts, r) if M is not None else r
+    rz = jnp.vdot(r, z)
+    p = z
+    status = -1
+    k = 0
+    while k < max_iter:
+        Ap = A(a_consts, p)
+        x1, r1, stats = _host_alpha_update(p, Ap, x, r, rz)
+        pAp, r1n, pn = (float(s) for s in np.asarray(stats))
+        if check_definiteness and pAp <= 0.0 and pn > 0.0:
+            status = CG_INDEFINITE_OPERATOR  # keep the previous iterate
+            break
+        x, r, r_norm = x1, r1, r1n
+        k += 1
+        if r1n <= tol:
+            status = CG_CONVERGED
+            break
+        z = M(m_consts, r) if M is not None else r
+        p, rz1 = _host_beta_update(r, z, p, rz)
+        if check_definiteness and float(rz1) < 0.0:
+            status = CG_INDEFINITE_PRECONDITIONER
+            break
+        rz = rz1
+    if status < 0:
+        status = CG_MAX_ITER
+    return CgResult(
+        x=x,
+        num_iterations=jnp.asarray(k, jnp.int32),
+        status=jnp.asarray(status, jnp.int32),
+        residual_norm=jnp.asarray(r_norm, b.dtype),
+    )
 
 
 def _cg_loop(A, M, b, x0, rel_tolerance, max_iter, check_definiteness):

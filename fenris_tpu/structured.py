@@ -28,7 +28,7 @@ it to roundoff; tests assert exact correspondence.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import functools
 
@@ -532,6 +532,7 @@ class StructuredHyperelasticModel:
         cg_rel_tolerance: float = 1e-4,
         cg_max_iter: int = 1000,
         preconditioner: str = "mg",
+        cg_host_loop: Optional[bool] = None,
     ) -> NewtonResult:
         """Mixed-precision Newton-Krylov: f64 outer residual, f32 inner CG.
 
@@ -553,6 +554,12 @@ class StructuredHyperelasticModel:
 
         ``tolerance`` is relative to the initial residual norm.  Requires
         ``jax_enable_x64``.
+
+        ``cg_host_loop``: drive the inner CG from the host (separate
+        device programs for the Pallas operator and the MG V-cycle).
+        Default ``None`` = auto: on for MG-preconditioned models above
+        3M dofs, where fusing the Pallas hvp and the unrolled V-cycle
+        into one ``while_loop`` program has faulted the TPU worker.
         """
         if not jax.config.jax_enable_x64:
             raise ValueError("solve_mixed requires jax_enable_x64")
@@ -579,6 +586,10 @@ class StructuredHyperelasticModel:
             from .multigrid import StructuredMGPreconditioner
 
             mg = StructuredMGPreconditioner(self)
+        if cg_host_loop is None:
+            cg_host_loop = (
+                mg is not None and self._pallas_active() and self.num_dofs > 3_000_000
+            )
 
         u = u_probe if u0 is None else jnp.asarray(u0, jnp.float64)
         f = res64(res64_consts, u)
@@ -602,6 +613,7 @@ class StructuredHyperelasticModel:
                 rel_tolerance=cg_rel_tolerance,
                 max_iter=cg_max_iter,
                 check_definiteness=False,
+                host_loop=bool(cg_host_loop),
             ).x.astype(jnp.float64)
             # Armijo backtracking on the f64 residual norm
             accepted = False

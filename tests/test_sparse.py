@@ -180,3 +180,61 @@ def test_block_ell_scalar_poisson(rng):
     np.testing.assert_allclose(
         np.asarray(ell @ v), np.asarray(spmv(csr, v)), rtol=1e-12, atol=1e-13
     )
+
+
+def test_cg_host_loop_matches_device_loop(rng):
+    """host_loop=True runs the same algorithm as the jitted while_loop:
+    identical iterate, iteration count, and status taxonomy."""
+    n = 70
+    B = rng.standard_normal((n, n))
+    dense = B @ B.T + n * np.eye(n)
+    A = jnp.asarray(dense)
+    b = jnp.asarray(rng.standard_normal(n))
+    op = lambda v: A @ v
+    inv_diag = 1.0 / jnp.diag(A)
+    prec = lambda v: inv_diag * v
+    dev = conjugate_gradient(op, b, preconditioner=prec, rel_tolerance=1e-11)
+    host = conjugate_gradient(
+        op, b, preconditioner=prec, rel_tolerance=1e-11, host_loop=True
+    )
+    assert int(host.status) == CG_CONVERGED
+    assert int(host.num_iterations) == int(dev.num_iterations)
+    np.testing.assert_allclose(np.asarray(host.x), np.asarray(dev.x), rtol=0, atol=0)
+
+    # status taxonomy: max-iter cap, indefinite operator, converged x0
+    capped = conjugate_gradient(op, b, rel_tolerance=1e-15, max_iter=4, host_loop=True)
+    assert int(capped.status) == CG_MAX_ITER and int(capped.num_iterations) == 4
+    indef = conjugate_gradient(lambda v: -(A @ v), b, host_loop=True)
+    assert int(indef.status) == CG_INDEFINITE_OPERATOR
+    trivial = conjugate_gradient(op, jnp.zeros(n), host_loop=True)
+    assert int(trivial.status) == CG_CONVERGED and int(trivial.num_iterations) == 0
+
+
+def test_solve_mixed_host_loop_agrees(rng):
+    """solve_mixed(cg_host_loop=True) matches the device-loop solve."""
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        import pytest
+
+        pytest.skip("requires x64")
+    from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+    from fenris_tpu.structured import StructuredHyperelasticModel
+
+    nodes = 9 * 9 * 9
+    mask = np.zeros(nodes * 3, dtype=bool)
+    mask[: 81 * 3] = True
+    model = StructuredHyperelasticModel(
+        cells=(8, 8, 8),
+        spacing=1.0 / 8,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.614, lam=576.923),
+        dirichlet_mask=mask,
+        body_force=np.array([0.0, 0.0, -4.0]),
+        dtype=jnp.float32,
+    )
+    r_dev = model.solve_mixed(tolerance=1e-10, cg_host_loop=False)
+    r_host = model.solve_mixed(tolerance=1e-10, cg_host_loop=True)
+    assert int(r_host.status) == int(r_dev.status)
+    nd = np.linalg.norm(np.asarray(r_dev.x))
+    assert np.linalg.norm(np.asarray(r_host.x) - np.asarray(r_dev.x)) <= 1e-9 * nd
