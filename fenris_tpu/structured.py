@@ -387,15 +387,55 @@ class StructuredHyperelasticModel:
         return jnp.where(self.free_mask, hv, v)
 
     def energy(self, u):
-        G = self._u_grad(u)
-        q = G.shape[2]
-        B = int(np.prod(G.shape[3:]))
-        flat = G.reshape(3, 3, q * B)
-        psi = jax.vmap(
-            lambda Gp: self.operator.energy(Gp, self.params), in_axes=-1, out_axes=-1
-        )(flat)
-        psi = psi.reshape((q,) + G.shape[3:])
-        return _einsum("q,qzyx->", self.wdet, psi) - jnp.vdot(self._f_ext, u)
+        if not self.z_chunk_planes:
+            G = self._u_grad(u)
+            q = G.shape[2]
+            B = int(np.prod(G.shape[3:]))
+            flat = G.reshape(3, 3, q * B)
+            psi = jax.vmap(
+                lambda Gp: self.operator.energy(Gp, self.params), in_axes=-1, out_axes=-1
+            )(flat)
+            psi = psi.reshape((q,) + G.shape[3:])
+            return _einsum("q,qzyx->", self.wdet, psi) - jnp.vdot(self._f_ext, u)
+
+        # chunked: lax.scan over z-slabs (the unchunked [d,s,q,grid] chain
+        # is ~8GB f32 / 16GB f64 at 10M dofs — past HBM)
+        ncx, ncy, ncz = self.cells
+        slab = int(self.z_chunk_planes)
+        k = -(-ncz // slab)
+        ncz_pad = k * slab
+        ug = self._grid(u)
+        ug_p = jnp.pad(ug, ((0, 0), (0, ncz_pad + 1 - self.node_shape[0]), (0, 0), (0, 0)))
+        zmask = jnp.asarray(
+            (np.arange(ncz_pad) < ncz).astype(np.float32).reshape(k, slab), ug.dtype
+        )
+        starts = jnp.asarray(np.arange(k) * slab, jnp.int32)
+
+        def body(acc, xs):
+            z0, zm = xs
+            zero = jnp.zeros((), z0.dtype)
+            u_slab = jax.lax.dynamic_slice(
+                ug_p, (zero, z0, zero, zero), (3, slab + 1) + self.node_shape[1:]
+            )
+            views = [
+                u_slab[:, dk : dk + slab, dj : dj + ncy, di : di + ncx]
+                for (di, dj, dk) in _OFFSETS
+            ]
+            U = jnp.stack(views, axis=0)  # [n, s, slab, yc, xc]
+            G = _einsum("qnd,nszyx->dsqzyx", self.gp, U)
+            q = G.shape[2]
+            B = int(np.prod(G.shape[3:]))
+            flat = G.reshape(3, 3, q * B)
+            psi = jax.vmap(
+                lambda Gp: self.operator.energy(Gp, self.params),
+                in_axes=-1,
+                out_axes=-1,
+            )(flat).reshape((q,) + G.shape[3:])
+            psi = psi * zm[None, :, None, None]
+            return acc + _einsum("q,qzyx->", self.wdet, psi), None
+
+        e, _ = jax.lax.scan(body, jnp.zeros((), ug.dtype), (starts, zmask))
+        return e - jnp.vdot(self._f_ext, u)
 
     def _slab_diag_local(self, u_slab, zmask):
         """Hessian-diagonal contributions of a slab ([s, slab+1, y, x])."""
@@ -533,6 +573,7 @@ class StructuredHyperelasticModel:
         cg_max_iter: int = 1000,
         preconditioner: str = "mg",
         cg_host_loop: Optional[bool] = None,
+        verbose: bool = False,
     ) -> NewtonResult:
         """Mixed-precision Newton-Krylov: f64 outer residual, f32 inner CG.
 
@@ -606,7 +647,7 @@ class StructuredHyperelasticModel:
             else:
                 inv_diag = 1.0 / self.hessian_diagonal(u32)
                 prec = lambda v: inv_diag * v
-            d = conjugate_gradient(
+            cg = conjugate_gradient(
                 lambda v: self.hessian_vector_product(u32, v),
                 jnp.asarray(f, jnp.float32),
                 preconditioner=prec,
@@ -614,13 +655,26 @@ class StructuredHyperelasticModel:
                 max_iter=cg_max_iter,
                 check_definiteness=False,
                 host_loop=bool(cg_host_loop),
-            ).x.astype(jnp.float64)
+            )
+            if verbose:
+                print(
+                    f"[solve_mixed it {k}] cg iters={int(cg.num_iterations)} "
+                    f"status={int(cg.status)} |r|={float(cg.residual_norm):.3e}",
+                    flush=True,
+                )
+            d = cg.x.astype(jnp.float64)
             # Armijo backtracking on the f64 residual norm
             accepted = False
             for alpha in alphas:
                 u_try = u - alpha * d
                 f_try = res64(res64_consts, u_try)
                 nf_try = float(jnp.linalg.norm(f_try))
+                if verbose:
+                    print(
+                        f"[solve_mixed it {k}] alpha={alpha:g} "
+                        f"|f|={nf_try:.6e} (prev {nf:.6e})",
+                        flush=True,
+                    )
                 if nf_try**2 <= (1.0 - 1e-4 * alpha) * nf**2:
                     u, f, nf, accepted = u_try, f_try, nf_try, True
                     break

@@ -133,6 +133,14 @@ def test_chunked_sweeps_match_single(rng):
         ).max()
         < 1e-11
     )
+    # energy (incl. a slab width that needs z padding) + grad-through
+    chunked4 = StructuredHyperelasticModel(cells=(4, 3, 7), z_chunk_planes=4, **kwargs)
+    e0 = float(single.energy(u))
+    assert abs(float(chunked.energy(u)) - e0) < 1e-13 * max(abs(e0), 1.0)
+    assert abs(float(chunked4.energy(u)) - e0) < 1e-13 * max(abs(e0), 1.0)
+    g0 = np.asarray(jax.grad(single.energy)(u))
+    g2 = np.asarray(jax.grad(chunked.energy)(u))
+    assert np.abs(g0 - g2).max() < 1e-12
 
 
 def test_solve_mixed_precision_reaches_f64_accuracy():

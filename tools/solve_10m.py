@@ -76,7 +76,7 @@ def run_case(cells, tolerance: float = 1e-10) -> dict:
     )
     log("hvp ok; starting solve_mixed")
     t0 = time.perf_counter()
-    res = model.solve_mixed(tolerance=tolerance, preconditioner="mg",
+    res = model.solve_mixed(tolerance=tolerance, preconditioner="mg", verbose=True,
                             max_newton_iterations=40)
     x = np.asarray(res.x)  # f64
     wall = time.perf_counter() - t0
@@ -137,7 +137,7 @@ def run_mms_case(cells_per_dim: int, tolerance: float = 1e-10) -> dict:
     )
     print(f"[mms {c}^3] solving ({model.num_dofs} dofs)", flush=True)
     t0 = time.perf_counter()
-    res = model.solve_mixed(tolerance=tolerance, preconditioner="mg",
+    res = model.solve_mixed(tolerance=tolerance, preconditioner="mg", verbose=True,
                             max_newton_iterations=40)
     wall = time.perf_counter() - t0
     err = model.l2_error(jnp.asarray(np.asarray(res.x), jnp.float32), u_exact)
