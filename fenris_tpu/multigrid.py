@@ -36,7 +36,11 @@ import numpy as np
 
 from .solid import LameParameters, LinearElasticMaterial
 
-__all__ = ["StructuredMGPreconditioner", "GeometricMGPreconditioner"]
+__all__ = [
+    "StructuredMGPreconditioner",
+    "GeometricMGPreconditioner",
+    "rcm_refined_hierarchy",
+]
 
 
 def _smooth_axis(a, axis):
@@ -194,6 +198,24 @@ class StructuredMGPreconditioner:
 # ---------------------------------------------------------------------------
 
 
+def rcm_refined_hierarchy(coarse_mesh, levels: int):
+    """Refine ``levels`` times, then RCM-reorder the finest mesh.
+
+    Returns ``(fine_mesh, fine_permutation)``: the bandwidth-reduced fine
+    mesh to build the (banded) model on, and the ``new -> old`` vertex
+    relabeling to hand to
+    :class:`GeometricMGPreconditioner(fine_permutation=...)` so its
+    transfer operators follow the reordering.
+    """
+    from .mesh.refinement import refine_uniformly_repeat
+    from .mesh.reorder import reorder_mesh, reverse_cuthill_mckee
+
+    fine = refine_uniformly_repeat(coarse_mesh, levels)
+    perm = reverse_cuthill_mckee(fine).astype(np.int64)
+    fine_r, _ = reorder_mesh(fine, perm)
+    return fine_r, perm
+
+
 def _prolong_unstructured(parents, weights, u_c):
     """Apply P: coarse nodal field [Nc, s] -> fine [Nf, s]."""
     return jnp.sum(weights[:, :, None] * u_c[parents], axis=1)
@@ -226,6 +248,20 @@ class GeometricMGPreconditioner:
     Extends the reference beyond its Jacobi-CG solver story
     (fenris-sparse/src/cg.rs): at >=1M dofs Jacobi-CG iteration counts grow
     like O(1/h) while the V-cycle keeps them roughly flat.
+
+    **Composing with the banded fast path.**  The banded MXU kernels
+    (:mod:`.ops.banded`) need a bandwidth-reduced (RCM) node ordering,
+    while the refinement hierarchy's transfers are expressed in
+    refinement ordering (coarse nodes a prefix, midpoints appended — the
+    worst possible bandwidth).  Passing ``fine_permutation`` (the
+    ``new -> old`` vertex relabeling that produced ``model.mesh`` from
+    ``refine_uniformly_repeat(coarse_mesh, levels)``; see
+    :func:`rcm_refined_hierarchy`) makes the preconditioner relabel the
+    transfer arrays and per-level Dirichlet sets into the model's
+    ordering, so the V-cycle runs natively on the RCM mesh with no
+    permutation gathers in the hot path.  With ``banded=True`` the
+    intermediate levels are additionally RCM-reordered themselves and
+    every level's rediscretized operator uses the banded MXU sweeps.
     """
 
     model: Any  # HyperelasticModel on the fine mesh
@@ -234,6 +270,11 @@ class GeometricMGPreconditioner:
     num_smooth: int = 2
     omega: float = 0.5
     coarse_iters: int = 40
+    #: new->old vertex relabeling of the finest mesh (None = refinement
+    #: ordering, i.e. model.mesh is exactly the repeated refinement)
+    fine_permutation: Any = None
+    #: per-level banded MXU sweeps (requires ``fine_permutation``)
+    banded: bool = False
 
     def __post_init__(self):
         from .elasticity import HyperelasticModel
@@ -241,6 +282,7 @@ class GeometricMGPreconditioner:
             prolongation_for_refinement,
             refine_uniformly,
         )
+        from .mesh.reorder import reorder_mesh, reverse_cuthill_mckee
 
         m = self.model
         s = m.mesh.dim
@@ -267,6 +309,66 @@ class GeometricMGPreconditioner:
                 f"model mesh ({meshes[-1].num_vertices} vs "
                 f"{m.mesh.num_vertices} vertices)"
             )
+        if self.banded and self.fine_permutation is None:
+            raise ValueError(
+                "banded=True needs fine_permutation: refinement ordering "
+                "is not bandwidth-reduced (use rcm_refined_hierarchy)"
+            )
+
+        # per-level vertex relabelings, new -> old (None = identity).
+        # The *old* labels are refinement ordering, in which coarse nodes
+        # are a prefix of fine nodes (the property the transfers and the
+        # Dirichlet restriction below rely on).
+        perms: List[Any] = [None] * (self.levels + 1)
+        if self.fine_permutation is not None:
+            pf = np.asarray(self.fine_permutation, dtype=np.int64)
+            if pf.shape != (m.mesh.num_vertices,):
+                raise ValueError(
+                    "fine_permutation must be a [num_vertices] new->old map"
+                )
+            perms[self.levels] = pf
+            meshes[self.levels] = m.mesh
+            if self.banded:
+                # intermediate levels get their own RCM ordering so their
+                # banded sweeps see a reduced bandwidth too (the coarse
+                # level keeps the caller's ordering: its cost is 8^levels
+                # times smaller and it often is a well-ordered generator
+                # mesh already)
+                for li in range(1, self.levels):
+                    p = reverse_cuthill_mckee(meshes[li]).astype(np.int64)
+                    meshes[li], _ = reorder_mesh(meshes[li], p)
+                    perms[li] = p
+
+        def inv_of(p, n):
+            if p is None:
+                return None
+            inv = np.empty(n, dtype=np.int64)
+            inv[p] = np.arange(n, dtype=np.int64)
+            return inv
+
+        invs = [inv_of(p, mesh.num_vertices) for p, mesh in zip(perms, meshes)]
+
+        # relabel each transfer into the (possibly permuted) level orderings:
+        # rows follow the fine level's new ordering, entries map through the
+        # coarse level's old->new relabeling
+        rel_transfers = []
+        for li in range(self.levels):
+            par, wts = transfers[li]
+            par = np.asarray(par, dtype=np.int64)
+            wts = np.asarray(wts)
+            pf, ic = perms[li + 1], invs[li]
+            if pf is not None:
+                par, wts = par[pf], wts[pf]
+            if ic is not None:
+                par = ic[par]
+            rel_transfers.append((par, wts))
+
+        # Dirichlet nodes in refinement (old) labels of the finest mesh
+        dir_old = (
+            perms[self.levels][dirichlet_f]
+            if perms[self.levels] is not None
+            else dirichlet_f
+        )
 
         # fine -> coarse level order (levels[0] = finest)
         self.levels_data: List[dict] = []
@@ -274,13 +376,16 @@ class GeometricMGPreconditioner:
             mesh_l = meshes[li]
             # refinement appends vertices, so coarse nodes are a prefix of
             # the fine nodes: constraint masks restrict by injection
-            dirichlet_l = dirichlet_f[dirichlet_f < mesh_l.num_vertices]
+            dirichlet_l = dir_old[dir_old < mesh_l.num_vertices]
+            if invs[li] is not None:
+                dirichlet_l = invs[li][dirichlet_l]
             lin = HyperelasticModel(
                 mesh=mesh_l,
                 material=LinearElasticMaterial(),
                 params=LameParameters(mu=mu, lam=lam),
                 dirichlet_nodes=dirichlet_l,
                 dtype=m.space.X_geo.dtype,
+                banded=self.banded,
             )
             u0 = jnp.zeros(lin.space.num_dofs, m.space.X_geo.dtype)
             inv_diag = 1.0 / lin.hessian_diagonal(u0)
@@ -292,7 +397,7 @@ class GeometricMGPreconditioner:
                 s=s,
             )
             if li > 0:
-                par, wts = transfers[li - 1]
+                par, wts = rel_transfers[li - 1]
                 entry["parents"] = jnp.asarray(par)
                 entry["weights"] = jnp.asarray(wts, m.space.X_geo.dtype)
             self.levels_data.append(entry)

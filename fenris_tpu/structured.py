@@ -287,34 +287,54 @@ class StructuredHyperelasticModel:
             return self._ungrid(self._scatter_nodes(f_el))
 
         # chunked: lax.scan over z-slabs of cell planes
+        return self._ungrid(
+            self._chunked_slab_sweep(self._grid(u), self._slab_forces_local)
+        )
+
+    def _chunked_slab_sweep(self, ug, local_fn):
+        """Chunked z-slab node-field sweep: Σ of per-slab contributions.
+
+        ``local_fn(u_slab [3, slab+1, y, x], zmask [slab]) -> [3, slab+1,
+        y, x]`` local node contributions of one slab of cell planes.
+        The scan *stacks* the per-slab outputs and recombines them with
+        static-shape ops only.  (An earlier formulation accumulated into
+        the scan carry with overlapping ``dynamic_update_slice``
+        read-modify-writes; XLA:TPU silently drops slab contributions
+        from that program when it fuses with the residual's downstream
+        mask/subtract — observed at (62,62,116), slab=2: the first ~21
+        node planes of f_ext vanished, which made solve_mixed's Newton
+        direction garbage.  Stacked outputs dodge the miscompile class.)
+        """
         ncx, ncy, ncz = self.cells
         slab = int(self.z_chunk_planes)
         k = -(-ncz // slab)
         ncz_pad = k * slab
-        ug = self._grid(u)
-        ug_p = jnp.pad(ug, ((0, 0), (0, ncz_pad + 1 - self.node_shape[0]), (0, 0), (0, 0)))
+        ug_p = jnp.pad(
+            ug, ((0, 0), (0, ncz_pad + 1 - self.node_shape[0]), (0, 0), (0, 0))
+        )
         zmask = jnp.asarray(
             (np.arange(ncz_pad) < ncz).astype(np.float32).reshape(k, slab),
             ug.dtype,
         )
         starts = jnp.asarray(np.arange(k) * slab, jnp.int32)
 
-        def body(acc, xs):
+        def body(carry, xs):
             z0, zm = xs
             zero = jnp.zeros((), z0.dtype)
             u_slab = jax.lax.dynamic_slice(
                 ug_p, (zero, z0, zero, zero), (3, slab + 1) + self.node_shape[1:]
             )
-            f_local = self._slab_forces_local(u_slab, zm)
-            cur = jax.lax.dynamic_slice(
-                acc, (zero, z0, zero, zero), (3, slab + 1) + self.node_shape[1:]
-            )
-            acc = jax.lax.dynamic_update_slice(acc, cur + f_local, (zero, z0, zero, zero))
-            return acc, None
+            return carry, local_fn(u_slab, zm)
 
-        acc0 = jnp.zeros((3, ncz_pad + 1) + self.node_shape[1:], ug.dtype)
-        acc, _ = jax.lax.scan(body, acc0, (starts, zmask))
-        return self._ungrid(acc[:, : self.node_shape[0]])
+        _, ys = jax.lax.scan(body, jnp.zeros((), jnp.int32), (starts, zmask))
+        # ys: [k, 3, slab+1, y, x]; slab i's last plane is slab i+1's first
+        owned = ys[:, :, :slab]
+        owned = owned.at[1:, :, 0].add(ys[:-1, :, slab])
+        grid = jnp.moveaxis(owned, 1, 0).reshape(
+            (3, k * slab) + self.node_shape[1:]
+        )
+        grid = jnp.concatenate([grid, ys[-1, :, slab:]], axis=1)
+        return grid[:, : self.node_shape[0]]
 
     # -- fused Pallas stencil path (ops/structured_stencil.py) -------------
     # Explicit opt-in: the kernels fuse the whole per-element chain into
@@ -483,33 +503,9 @@ class StructuredHyperelasticModel:
             diag = self._ungrid(self._scatter_nodes(d_el))
             return jnp.where(self.free_mask & (diag != 0.0), diag, 1.0)
 
-        ncx, ncy, ncz = self.cells
-        slab = int(self.z_chunk_planes)
-        k = -(-ncz // slab)
-        ncz_pad = k * slab
-        ug = self._grid(u)
-        ug_p = jnp.pad(ug, ((0, 0), (0, ncz_pad + 1 - self.node_shape[0]), (0, 0), (0, 0)))
-        zmask = jnp.asarray(
-            (np.arange(ncz_pad) < ncz).astype(np.float32).reshape(k, slab), ug.dtype
+        diag = self._ungrid(
+            self._chunked_slab_sweep(self._grid(u), self._slab_diag_local)
         )
-        starts = jnp.asarray(np.arange(k) * slab, jnp.int32)
-
-        def body(acc, xs):
-            z0, zm = xs
-            zero = jnp.zeros((), z0.dtype)
-            u_slab = jax.lax.dynamic_slice(
-                ug_p, (zero, z0, zero, zero), (3, slab + 1) + self.node_shape[1:]
-            )
-            d_local = self._slab_diag_local(u_slab, zm)
-            cur = jax.lax.dynamic_slice(
-                acc, (zero, z0, zero, zero), (3, slab + 1) + self.node_shape[1:]
-            )
-            acc = jax.lax.dynamic_update_slice(acc, cur + d_local, (zero, z0, zero, zero))
-            return acc, None
-
-        acc0 = jnp.zeros((3, ncz_pad + 1) + self.node_shape[1:], ug.dtype)
-        acc, _ = jax.lax.scan(body, acc0, (starts, zmask))
-        diag = self._ungrid(acc[:, : self.node_shape[0]])
         return jnp.where(self.free_mask & (diag != 0.0), diag, 1.0)
 
     # -- solve -----------------------------------------------------------------
@@ -618,9 +614,36 @@ class StructuredHyperelasticModel:
         model64 = replace(self, dtype=jnp.float64, pallas=False)
         # hoist tabulation/mask constants out of the jitted closure (see
         # CLAUDE.md: closure-constant slow path)
-        u_probe = jnp.zeros(self.num_dofs, jnp.float64)
-        res64_fn, res64_consts = jax.closure_convert(model64.residual, u_probe)
-        res64 = jax.jit(lambda consts, u: res64_fn(u, *consts))
+        u_zero = jnp.zeros(self.num_dofs, jnp.float64)
+        res64_fn, res64_consts = jax.closure_convert(model64.residual, u_zero)
+        res64_jit = jax.jit(lambda consts, u: res64_fn(u, *consts))
+        # XLA:TPU's emulated-f64 fusion has silently dropped z-slab
+        # contributions from large compiled residual programs (fusion-
+        # context dependent; see _chunked_slab_sweep).  The outer residual
+        # is the ground truth of the whole solve, so validate the compiled
+        # program against the trustworthy eager evaluation on a generic
+        # random probe and fall back to eager evaluation on mismatch.
+        probe = jnp.asarray(
+            np.random.default_rng(0).standard_normal(self.num_dofs)
+            * (0.01 * self.spacing),
+            jnp.float64,
+        )
+        ref = model64.residual(probe)
+        got = res64_jit(res64_consts, probe)
+        jit_ok = float(jnp.linalg.norm(got - ref)) <= 1e-9 * (
+            float(jnp.linalg.norm(ref)) + 1e-300
+        )
+        if jit_ok:
+            res64 = lambda consts, u: res64_jit(consts, u)
+        else:
+            if verbose:
+                print(
+                    "[solve_mixed] compiled f64 residual disagrees with the "
+                    "eager evaluation (XLA:TPU f64-emulation fusion bug); "
+                    "falling back to eager outer residuals",
+                    flush=True,
+                )
+            res64 = lambda consts, u: model64.residual(u)
 
         mg = None
         if preconditioner == "mg":
@@ -632,7 +655,7 @@ class StructuredHyperelasticModel:
                 mg is not None and self._pallas_active() and self.num_dofs > 3_000_000
             )
 
-        u = u_probe if u0 is None else jnp.asarray(u0, jnp.float64)
+        u = u_zero if u0 is None else jnp.asarray(u0, jnp.float64)
         f = res64(res64_consts, u)
         nf0 = float(jnp.linalg.norm(f))
         nf = nf0

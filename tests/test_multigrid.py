@@ -209,3 +209,105 @@ def test_unstructured_mg_in_newton_solve():
     assert float(r_j.residual_norm) < 1e-9
     assert float(r_m.residual_norm) < 1e-9
     np.testing.assert_allclose(np.asarray(r_j.x), np.asarray(r_m.x), rtol=0, atol=1e-7)
+
+
+def test_unstructured_mg_rcm_banded_equivariance():
+    """RCM-permuted banded MG is the plain MG conjugated by the permutation.
+
+    ``rcm_refined_hierarchy`` + ``fine_permutation``/``banded=True`` must
+    produce exactly the same V-cycle as the refinement-ordered
+    preconditioner, just relabeled: M_rcm(P r) == P M_plain(r).
+    """
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+    from fenris_tpu.mesh.refinement import refine_uniformly_repeat
+    from fenris_tpu.multigrid import (
+        GeometricMGPreconditioner,
+        rcm_refined_hierarchy,
+    )
+    from fenris_tpu.solid import LinearElasticMaterial
+
+    coarse = create_unit_box_uniform_hex_mesh_3d(2)
+    levels = 2
+    plain = refine_uniformly_repeat(coarse, levels)
+    fine, perm = rcm_refined_hierarchy(coarse, levels)
+    np.testing.assert_allclose(
+        np.asarray(fine.points), np.asarray(plain.points)[perm]
+    )
+    dof_perm = (3 * perm[:, None] + np.arange(3)).reshape(-1)
+
+    fixed_plain = np.flatnonzero(plain.points[:, 0] < 1e-12)
+    fixed_rcm = np.flatnonzero(fine.points[:, 0] < 1e-12)
+    kw = dict(
+        material=LinearElasticMaterial(),
+        params=LameParameters(mu=384.0, lam=577.0),
+    )
+    m_plain = HyperelasticModel(mesh=plain, dirichlet_nodes=fixed_plain, **kw)
+    m_rcm = HyperelasticModel(
+        mesh=fine,
+        dirichlet_nodes=fixed_rcm,
+        banded=True,
+        banded_r_nodes=1024,
+        **kw,
+    )
+    mg_plain = GeometricMGPreconditioner(m_plain, coarse, levels)
+    mg_rcm = GeometricMGPreconditioner(
+        m_rcm, coarse, levels, fine_permutation=perm, banded=True
+    )
+
+    rng = np.random.default_rng(7)
+    r = rng.standard_normal(m_plain.space.num_dofs)
+    out_plain = np.asarray(mg_plain(jnp.asarray(r)))
+    out_rcm = np.asarray(mg_rcm(jnp.asarray(r[dof_perm])))
+    np.testing.assert_allclose(out_rcm, out_plain[dof_perm], rtol=1e-10, atol=1e-12)
+
+
+def test_unstructured_mg_rcm_banded_newton_solve():
+    """Full Newton solve on the RCM/banded model with the permuted MG."""
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+    from fenris_tpu.mesh.refinement import refine_uniformly_repeat
+    from fenris_tpu.multigrid import (
+        GeometricMGPreconditioner,
+        rcm_refined_hierarchy,
+    )
+
+    coarse = create_unit_box_uniform_hex_mesh_3d(2)
+    plain = refine_uniformly_repeat(coarse, 1)
+    fine, perm = rcm_refined_hierarchy(coarse, 1)
+    dof_perm = (3 * perm[:, None] + np.arange(3)).reshape(-1)
+    kw = dict(
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.0, lam=577.0),
+        body_force=lambda x, p: jnp.array([0.0, 0.0, -80.0]),
+    )
+    m_plain = HyperelasticModel(
+        mesh=plain,
+        dirichlet_nodes=np.flatnonzero(plain.points[:, 0] < 1e-12),
+        **kw,
+    )
+    m_rcm = HyperelasticModel(
+        mesh=fine,
+        dirichlet_nodes=np.flatnonzero(fine.points[:, 0] < 1e-12),
+        banded=True,
+        banded_r_nodes=1024,
+        **kw,
+    )
+    r_plain = m_plain.solve(
+        tolerance=1e-9,
+        preconditioner=GeometricMGPreconditioner(m_plain, coarse, 1),
+    )
+    r_rcm = m_rcm.solve(
+        tolerance=1e-9,
+        preconditioner=GeometricMGPreconditioner(
+            m_rcm, coarse, 1, fine_permutation=perm, banded=True
+        ),
+    )
+    assert float(r_plain.residual_norm) < 1e-9
+    assert float(r_rcm.residual_norm) < 1e-9
+    np.testing.assert_allclose(
+        np.asarray(r_rcm.x),
+        np.asarray(r_plain.x)[dof_perm],
+        rtol=0,
+        atol=1e-7,
+    )
