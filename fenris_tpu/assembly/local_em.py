@@ -194,6 +194,25 @@ def _nbatch(X_em):
     return X_em.ndim - 2
 
 
+def _cast_float_params(params, dtype):
+    """Cast floating param leaves to the computation dtype.
+
+    ``jax.vmap`` canonicalizes Python-float leaves to *strong*-typed arrays
+    (f64 under x64), which would promote the whole f32 element sweep — the
+    f32-banded-model-under-x64 case used by ``solve_mixed``.  Integer /
+    bool leaves pass through.
+    """
+
+    def cast(x):
+        if isinstance(x, (bool, int)) or (
+            hasattr(x, "dtype") and not jnp.issubdtype(x.dtype, jnp.floating)
+        ):
+            return x
+        return jnp.asarray(x, dtype)
+
+    return jax.tree_util.tree_map(cast, params)
+
+
 def _scan_qp(qp_fn, tab: Tabulation, init, dtype, tables=None):
     """Accumulate ``qp_fn(carry, gd_q, dphi_q, w_q)`` over quadrature points.
 
@@ -312,6 +331,8 @@ def assemble_element_elliptic_tangent_vectors_em(
     vector sweep.  Exactness vs the traced jvp is pinned by tests.
     """
 
+    params = _cast_float_params(params, X_em.dtype)
+
     def qp(carry, gd_q, dphi_q, w_q):
         return carry + elliptic_vector_tangent_qp(
             X_em, u_em, v_em, op, params, gd_q, dphi_q, w_q
@@ -328,6 +349,8 @@ def assemble_element_elliptic_vectors_em(X_em, u_em, op, params, tab: Tabulation
     (elliptic.rs:457) reshaped; exactness is pinned by tests.
     """
 
+    params = _cast_float_params(params, X_em.dtype)
+
     def qp(carry, gd_q, dphi_q, w_q):
         return carry + elliptic_vector_qp(X_em, u_em, op, params, gd_q, dphi_q, w_q)
 
@@ -339,6 +362,7 @@ def assemble_element_elliptic_vectors_em(X_em, u_em, op, params, tab: Tabulation
 
 def compute_element_elliptic_energy_em(X_em, u_em, op, params, tab: Tabulation):
     """Per-element energies ``[E]`` (elliptic.rs:551)."""
+    params = _cast_float_params(params, X_em.dtype)
     m, d, n, s = _shapes(X_em, tab, op)
     X = [[X_em[mm, dd] for dd in range(d)] for mm in range(m)]
     efun = _pointwise_map(
@@ -360,6 +384,7 @@ def elliptic_matrix_diagonal_em(X_em, u_em, op, params, tab: Tabulation):
     diag[(n,i)] = ∫ gp[n,k] D[k,i,m,i] gp[n,m]; only the s diagonal slices
     of the contraction tensor are contracted.
     """
+    params = _cast_float_params(params, X_em.dtype)
     m, d, n, s = _shapes(X_em, tab, op)
     X = [[X_em[mm, dd] for dd in range(d)] for mm in range(m)]
     dfun = _pointwise_map(

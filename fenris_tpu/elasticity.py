@@ -567,3 +567,88 @@ class HyperelasticModel:
             line_search=line_search,
             cache=cache,
         )
+
+    def solve_mixed(
+        self,
+        u0=None,
+        tolerance: float = 1e-10,
+        max_newton_iterations: int = 30,
+        cg_rel_tolerance: float = 1e-4,
+        cg_max_iter: int = 2000,
+        preconditioner: Optional[Callable] = None,
+        cg_host_loop: bool = False,
+        verbose: bool = False,
+    ) -> NewtonResult:
+        """Mixed-precision Newton-Krylov: f64 outer residual, f32 inner CG.
+
+        The unstructured counterpart of
+        :meth:`~fenris_tpu.structured.StructuredHyperelasticModel.solve_mixed`
+        (see :func:`~fenris_tpu.optimize.mixed_precision_newton` for the
+        algorithm): each inner CG runs on this model's fast f32 path (banded
+        MXU kernels when ``banded=True``), while the outer residual/line
+        search are evaluated by an f64 twin model on the plain XLA sweep —
+        so the Newton iteration refines to f64 accuracy instead of stalling
+        at the f32 floor (~eps*kappa).  ``tolerance`` is relative to the
+        initial residual norm.  Requires ``jax_enable_x64``; the model
+        itself must be in f32 speed mode.
+        """
+        if self.space.X_geo.dtype != jnp.float32:
+            raise ValueError(
+                "solve_mixed runs the inner CG on the f32 path; build the "
+                "model with dtype=jnp.float32 (f64 models: use solve())"
+            )
+        from dataclasses import replace
+
+        from .optimize import mixed_precision_newton
+
+        # f64 twin on the plain XLA sweep (banded/fused kernels are
+        # f32-only); evaluated once per line-search trial.
+        model64 = replace(
+            self, dtype=jnp.float64, banded=False, fused_kernels=False
+        )
+        # probe scale ~1% of an element edge (displacement-like magnitude)
+        pts = np.asarray(self.mesh.points)
+        h_est = (pts.max(0) - pts.min(0)).max() / max(
+            round(self.mesh.num_cells ** (1.0 / self.mesh.dim)), 1
+        )
+        probe = np.random.default_rng(0).standard_normal(self.space.num_dofs) * (
+            0.01 * h_est
+        )
+
+        def inner_solve(k, u32, f32):
+            if preconditioner is None:
+                inv_diag = 1.0 / self.hessian_diagonal(u32)
+                prec = lambda v: inv_diag * v
+            else:
+                prec = preconditioner
+            cg = conjugate_gradient(
+                lambda v: self.hessian_vector_product(u32, v),
+                f32,
+                preconditioner=prec,
+                rel_tolerance=cg_rel_tolerance,
+                max_iter=cg_max_iter,
+                check_definiteness=False,
+                host_loop=bool(cg_host_loop),
+            )
+            if verbose:
+                print(
+                    f"[solve_mixed it {k}] cg iters={int(cg.num_iterations)} "
+                    f"status={int(cg.status)} |r|={float(cg.residual_norm):.3e}",
+                    flush=True,
+                )
+            return cg.x
+
+        u = (
+            jnp.zeros(self.space.num_dofs, jnp.float64)
+            if u0 is None
+            else u0
+        )
+        return mixed_precision_newton(
+            model64.residual,
+            inner_solve,
+            u,
+            tolerance=tolerance,
+            max_iterations=max_newton_iterations,
+            probe=probe,
+            verbose=verbose,
+        )

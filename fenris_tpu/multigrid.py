@@ -136,12 +136,18 @@ class StructuredMGPreconditioner:
             diag = lin.hessian_diagonal(u0)
             free_flat = jnp.asarray(free.reshape(-1))
             diag = jnp.where(free_flat, diag, 1.0)
+            # grid-layout ([s, z, y, x]) mask/diagonal: the V-cycle runs
+            # entirely in grid layout — flat elementwise ops fused with the
+            # _grid/_ungrid transposes miscompile on XLA:TPU at large
+            # shapes (see StructuredHyperelasticModel.__post_init__)
             self.levels.append(
                 dict(
                     model=lin,
                     node_shape=lin.node_shape,
                     free=free_flat,
                     inv_diag=1.0 / diag,
+                    free_grid=lin._grid(free_flat),
+                    inv_diag_grid=lin._grid(1.0 / diag),
                 )
             )
             if any(c % 2 or c < 4 for c in cells) or len(self.levels) >= 6:
@@ -152,45 +158,42 @@ class StructuredMGPreconditioner:
 
     # -- level operations -----------------------------------------------------
 
-    def _apply(self, lvl, v):
-        L = self.levels[lvl]
-        vm = jnp.where(L["free"], v, 0.0)
-        # linear material: Hessian action == internal forces (u-independent)
-        av = L["model"].internal_forces(vm)
-        return jnp.where(L["free"], av, v)
+    # All level operations run in grid layout [s, z, y, x]: the only
+    # flat<->grid transposes are at __call__'s edges, so no flat
+    # elementwise op can fuse with a transpose (the XLA:TPU miscompile
+    # class documented in StructuredHyperelasticModel.__post_init__).
 
-    def _smooth(self, lvl, x, b, iters):
+    def _apply_g(self, lvl, vg):
+        L = self.levels[lvl]
+        vm = jnp.where(L["free_grid"], vg, 0.0)
+        # linear material: Hessian action == internal forces (u-independent)
+        avg = L["model"].internal_forces_grid(L["model"]._ungrid(vm))
+        return jnp.where(L["free_grid"], avg, vg)
+
+    def _smooth_g(self, lvl, xg, bg, iters):
         L = self.levels[lvl]
         # Unrolled on purpose: a fori_loop lowers to while_loop, and a
         # while nested inside the CG while_loop runs ~12x slower on
         # XLA:TPU (measured; see optimize/__init__.py).  iters is small.
         for _ in range(int(iters)):
-            r = b - self._apply(lvl, x)
-            x = x + self.omega * L["inv_diag"] * r
-        return x
+            rg = bg - self._apply_g(lvl, xg)
+            xg = xg + self.omega * L["inv_diag_grid"] * rg
+        return xg
 
-    def _to_grid(self, lvl, v):
-        return jnp.moveaxis(v.reshape(self.levels[lvl]["node_shape"] + (3,)), -1, 0)
-
-    def _from_grid(self, lvl, g):
-        return jnp.moveaxis(g, 0, -1).reshape(-1)
-
-    def _vcycle(self, lvl, b):
-        x = self._smooth(lvl, jnp.zeros_like(b), b, self.num_smooth)
+    def _vcycle_g(self, lvl, bg):
+        xg = self._smooth_g(lvl, jnp.zeros_like(bg), bg, self.num_smooth)
         if lvl == len(self.levels) - 1:
-            return self._smooth(lvl, x, b, self.coarse_iters)
-        r = b - self._apply(lvl, x)
-        r_c = self._from_grid(lvl + 1, _restrict(self._to_grid(lvl, r)))
-        r_c = jnp.where(self.levels[lvl + 1]["free"], r_c, 0.0)
-        e_c = self._vcycle(lvl + 1, r_c)
-        e = self._from_grid(lvl, _prolong(self._to_grid(lvl + 1, e_c)))
-        e = jnp.where(self.levels[lvl]["free"], e, 0.0)
-        x = x + e
-        return self._smooth(lvl, x, b, self.num_smooth)
+            return self._smooth_g(lvl, xg, bg, self.coarse_iters)
+        rg = bg - self._apply_g(lvl, xg)
+        r_c = jnp.where(self.levels[lvl + 1]["free_grid"], _restrict(rg), 0.0)
+        e_c = self._vcycle_g(lvl + 1, r_c)
+        eg = jnp.where(self.levels[lvl]["free_grid"], _prolong(e_c), 0.0)
+        return self._smooth_g(lvl, xg + eg, bg, self.num_smooth)
 
     def __call__(self, r):
         """Apply the V-cycle preconditioner: M^{-1} r."""
-        return self._vcycle(0, r)
+        m = self.levels[0]["model"]
+        return m._ungrid(self._vcycle_g(0, m._grid(r)))
 
 
 # ---------------------------------------------------------------------------

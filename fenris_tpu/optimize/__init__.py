@@ -30,6 +30,7 @@ __all__ = [
     "newton_line_search",
     "newton_cache",
     "backtracking_alphas",
+    "mixed_precision_newton",
     "approximate_jacobian_fd",
     "approximate_gradient_fd",
     "NEWTON_CONVERGED",
@@ -379,6 +380,115 @@ def _newton_loop(
     status = jnp.where(status < 0, NEWTON_MAX_ITER, status).astype(jnp.int32)
     return NewtonResult(
         x=x, iterations=k, status=status, residual_norm=jnp.linalg.norm(f)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixed-precision Newton (f64 outer residual / f32 inner Krylov)
+# ---------------------------------------------------------------------------
+
+
+def mixed_precision_newton(
+    residual64: Callable,
+    inner_solve: Callable,
+    u0,
+    tolerance: float,
+    max_iterations: int = 30,
+    probe=None,
+    verbose: bool = False,
+) -> NewtonResult:
+    """Newton with an f64 outer residual and a caller-supplied f32 inner solve.
+
+    Finite-precision CG's attainable accuracy is ~eps*kappa; in f32 at 1M+
+    dofs that floor is ~1e-1 relative, so a pure-f32 Newton stalls after ~1
+    digit.  This is the standard cure (the FEM analogue of f32-master-weight
+    training): keep the iterate and the *residual evaluation* in f64
+    (emulated on TPU — paid once per line-search trial), and run each inner
+    Krylov solve in fast f32.  Newton itself acts as iterative refinement,
+    contracting by ~kappa(H)*eps_f32 per outer iteration, and converges to
+    f64 residual accuracy while that product is well below 1.
+
+    Args:
+        residual64: **eager** callable ``u64 -> f64 residual``.  It is
+            closure-converted + jitted internally; if ``probe`` is given the
+            compiled program is validated against the eager evaluation on it
+            (XLA:TPU's emulated-f64 fusion has silently dropped sweep
+            contributions from large compiled residual programs) and the
+            loop falls back to eager outer residuals on mismatch.
+        inner_solve: ``(k, u32, f32) -> d32`` returning the (approximate)
+            Newton direction for iteration ``k`` — typically an
+            f32-preconditioned CG on the model's Hessian action at ``u32``.
+        u0: f64 initial iterate.
+        tolerance: *relative* to the initial residual norm.
+        probe: optional f64 probe vector for the compiled-residual
+            validation (same shape as ``u0``).
+
+    Used by ``StructuredHyperelasticModel.solve_mixed`` and
+    ``HyperelasticModel.solve_mixed``.  Requires ``jax_enable_x64``.
+    """
+    if not jax.config.jax_enable_x64:
+        raise ValueError("mixed_precision_newton requires jax_enable_x64")
+    u0 = jnp.asarray(u0, jnp.float64)
+    res_fn, res_consts = jax.closure_convert(residual64, u0)
+    res_jit = jax.jit(lambda consts, u: res_fn(u, *consts))
+    if probe is not None:
+        probe = jnp.asarray(probe, jnp.float64)
+        ref = residual64(probe)
+        got = res_jit(res_consts, probe)
+        jit_ok = float(jnp.linalg.norm(got - ref)) <= 1e-9 * (
+            float(jnp.linalg.norm(ref)) + 1e-300
+        )
+    else:
+        jit_ok = True
+    if jit_ok:
+        res64 = lambda u: res_jit(res_consts, u)
+    else:
+        if verbose:
+            print(
+                "[mixed_newton] compiled f64 residual disagrees with the "
+                "eager evaluation (XLA:TPU f64-emulation fusion bug); "
+                "falling back to eager outer residuals",
+                flush=True,
+            )
+        res64 = residual64
+
+    f = res64(u0)
+    nf0 = float(jnp.linalg.norm(f))
+    nf = nf0
+    u = u0
+    alphas = [float(a) for a in backtracking_alphas()]
+    status, k = NEWTON_MAX_ITER, 0
+    if nf0 == 0.0:
+        status = NEWTON_CONVERGED
+    for k in range(1, max_iterations + 1):
+        d = inner_solve(k, u.astype(jnp.float32), jnp.asarray(f, jnp.float32))
+        d = jnp.asarray(d).astype(jnp.float64)
+        # Armijo backtracking on the f64 residual norm
+        accepted = False
+        for alpha in alphas:
+            u_try = u - alpha * d
+            f_try = res64(u_try)
+            nf_try = float(jnp.linalg.norm(f_try))
+            if verbose:
+                print(
+                    f"[mixed_newton it {k}] alpha={alpha:g} "
+                    f"|f|={nf_try:.6e} (prev {nf:.6e})",
+                    flush=True,
+                )
+            if nf_try**2 <= (1.0 - 1e-4 * alpha) * nf**2:
+                u, f, nf, accepted = u_try, f_try, nf_try, True
+                break
+        if not accepted:
+            status = NEWTON_LINE_SEARCH_FAILED
+            break
+        if nf <= tolerance * nf0:
+            status = NEWTON_CONVERGED
+            break
+    return NewtonResult(
+        x=u,
+        iterations=jnp.asarray(k, jnp.int32),
+        status=jnp.asarray(status, jnp.int32),
+        residual_norm=jnp.asarray(nf),
     )
 
 

@@ -125,7 +125,19 @@ class StructuredHyperelasticModel:
         else:
             free = np.ones(self.num_dofs, dtype=bool)
         self.free_mask = jnp.asarray(free)
+        # Grid-layout ([s, z, y, x]) mask and loads: Dirichlet masking and
+        # the load subtraction MUST happen in grid layout — XLA:TPU
+        # miscompiles flat-layout elementwise ops when they fuse with the
+        # _ungrid transpose at large shapes (observed at (124,124,232),
+        # 10.9M dofs: the first two z-planes of where(free, hv, v) took
+        # wrong values under jit while the eager program was correct,
+        # making the CG operator non-SPD).  Masking on the grid form and
+        # transposing once at the program edge compiles correctly.
+        self._free_grid = jnp.asarray(
+            np.moveaxis(np.asarray(free).reshape(self.node_shape + (3,)), -1, 0).copy()
+        )
         self._f_ext = self._external_forces()
+        self._f_ext_grid = self._grid(self._f_ext)
 
     # -- helpers ---------------------------------------------------------------
     #
@@ -276,7 +288,8 @@ class StructuredHyperelasticModel:
             )
         return out
 
-    def internal_forces(self, u):
+    def internal_forces_grid(self, u):
+        """Internal forces in grid layout [s, z, y, x] (flat dof input)."""
         if not self.z_chunk_planes:
             G = self._u_grad(u)
             g_flat, (q, B) = self._pointwise(
@@ -284,12 +297,13 @@ class StructuredHyperelasticModel:
             )  # [d, s, q*B]
             g = g_flat.reshape((3, 3, q) + G.shape[3:])
             f_el = _einsum("q,qnd,dsqzyx->nszyx", self.wdet, self.gp, g)
-            return self._ungrid(self._scatter_nodes(f_el))
+            return self._scatter_nodes(f_el)
 
         # chunked: lax.scan over z-slabs of cell planes
-        return self._ungrid(
-            self._chunked_slab_sweep(self._grid(u), self._slab_forces_local)
-        )
+        return self._chunked_slab_sweep(self._grid(u), self._slab_forces_local)
+
+    def internal_forces(self, u):
+        return self._ungrid(self.internal_forces_grid(u))
 
     def _chunked_slab_sweep(self, ug, local_fn):
         """Chunked z-slab node-field sweep: Σ of per-slab contributions.
@@ -367,44 +381,49 @@ class StructuredHyperelasticModel:
             and isinstance(self.material, NeoHookeanMaterial)
         )
 
-    def internal_forces_pallas(self, u, KZ: int = 4):
-        """Internal forces via the fused Pallas z-slab kernel."""
+    def internal_forces_pallas_grid(self, u, KZ: int = 4):
+        """Internal forces via the fused Pallas z-slab kernel, grid layout."""
         self._check_pallas()
         from .ops.structured_stencil import neo_hookean_residual_pallas
 
-        f = neo_hookean_residual_pallas(
+        return neo_hookean_residual_pallas(
             self._grid(u), self.spacing, float(self.params.mu), float(self.params.lam), KZ=KZ
         )
-        return self._ungrid(f)
+
+    def internal_forces_pallas(self, u, KZ: int = 4):
+        return self._ungrid(self.internal_forces_pallas_grid(u, KZ=KZ))
 
     def residual_pallas(self, u, KZ: int = 4):
-        r = self.internal_forces_pallas(u, KZ=KZ) - self._f_ext
-        return jnp.where(self.free_mask, r, 0.0)
+        # grid-layout subtract/mask (see __post_init__ note on the
+        # flat-op + _ungrid-transpose fusion miscompile)
+        rg = self.internal_forces_pallas_grid(u, KZ=KZ) - self._f_ext_grid
+        return self._ungrid(jnp.where(self._free_grid, rg, 0.0))
 
     def hessian_vector_product_pallas(self, u, v, KZ: int = 4):
         """Hessian action via the fused closed-form tangent kernel."""
         self._check_pallas()
         from .ops.structured_stencil import neo_hookean_hvp_pallas
 
-        vm = jnp.where(self.free_mask, v, 0.0)
+        vg = self._grid(v)
         hv = neo_hookean_hvp_pallas(
-            self._grid(u), self._grid(vm), self.spacing,
+            self._grid(u), jnp.where(self._free_grid, vg, 0.0), self.spacing,
             float(self.params.mu), float(self.params.lam), KZ=KZ,
         )
-        return jnp.where(self.free_mask, self._ungrid(hv), v)
+        return self._ungrid(jnp.where(self._free_grid, hv, vg))
 
     def residual(self, u):
         if self._pallas_active():
             return self.residual_pallas(u, KZ=self.pallas_kz)
-        r = self.internal_forces(u) - self._f_ext
-        return jnp.where(self.free_mask, r, 0.0)
+        rg = self.internal_forces_grid(u) - self._f_ext_grid
+        return self._ungrid(jnp.where(self._free_grid, rg, 0.0))
 
     def hessian_vector_product(self, u, v):
         if self._pallas_active():
             return self.hessian_vector_product_pallas(u, v, KZ=self.pallas_kz)
-        vm = jnp.where(self.free_mask, v, 0.0)
-        _, hv = jax.jvp(self.internal_forces, (u,), (vm,))
-        return jnp.where(self.free_mask, hv, v)
+        vg = self._grid(v)
+        vm = self._ungrid(jnp.where(self._free_grid, vg, 0.0))
+        _, hvg = jax.jvp(self.internal_forces_grid, (u,), (vm,))
+        return self._ungrid(jnp.where(self._free_grid, hvg, vg))
 
     def energy(self, u):
         if not self.z_chunk_planes:
@@ -500,13 +519,11 @@ class StructuredHyperelasticModel:
             d_el = _einsum(
                 "q,qnk,kimiqzyx,qnm->nizyx", self.wdet, self.gp, D, self.gp
             )
-            diag = self._ungrid(self._scatter_nodes(d_el))
-            return jnp.where(self.free_mask & (diag != 0.0), diag, 1.0)
+            dg = self._scatter_nodes(d_el)
+            return self._ungrid(jnp.where(self._free_grid & (dg != 0.0), dg, 1.0))
 
-        diag = self._ungrid(
-            self._chunked_slab_sweep(self._grid(u), self._slab_diag_local)
-        )
-        return jnp.where(self.free_mask & (diag != 0.0), diag, 1.0)
+        dg = self._chunked_slab_sweep(self._grid(u), self._slab_diag_local)
+        return self._ungrid(jnp.where(self._free_grid & (dg != 0.0), dg, 1.0))
 
     # -- solve -----------------------------------------------------------------
 
@@ -598,52 +615,21 @@ class StructuredHyperelasticModel:
         3M dofs, where fusing the Pallas hvp and the unrolled V-cycle
         into one ``while_loop`` program has faulted the TPU worker.
         """
-        if not jax.config.jax_enable_x64:
-            raise ValueError("solve_mixed requires jax_enable_x64")
         from dataclasses import replace
 
-        from .optimize import (
-            NEWTON_CONVERGED,
-            NEWTON_LINE_SEARCH_FAILED,
-            NEWTON_MAX_ITER,
-            backtracking_alphas,
-        )
+        from .optimize import mixed_precision_newton
 
         # pallas=False: the f64 outer residual must run the XLA path (the
-        # Pallas kernels are f32-only and would silently downcast it)
+        # Pallas kernels are f32-only and would silently downcast it).
+        # mixed_precision_newton closure-converts + probe-validates the
+        # compiled residual (XLA:TPU's emulated-f64 fusion has silently
+        # dropped z-slab contributions — see _chunked_slab_sweep).
         model64 = replace(self, dtype=jnp.float64, pallas=False)
-        # hoist tabulation/mask constants out of the jitted closure (see
-        # CLAUDE.md: closure-constant slow path)
-        u_zero = jnp.zeros(self.num_dofs, jnp.float64)
-        res64_fn, res64_consts = jax.closure_convert(model64.residual, u_zero)
-        res64_jit = jax.jit(lambda consts, u: res64_fn(u, *consts))
-        # XLA:TPU's emulated-f64 fusion has silently dropped z-slab
-        # contributions from large compiled residual programs (fusion-
-        # context dependent; see _chunked_slab_sweep).  The outer residual
-        # is the ground truth of the whole solve, so validate the compiled
-        # program against the trustworthy eager evaluation on a generic
-        # random probe and fall back to eager evaluation on mismatch.
         probe = jnp.asarray(
             np.random.default_rng(0).standard_normal(self.num_dofs)
             * (0.01 * self.spacing),
             jnp.float64,
         )
-        ref = model64.residual(probe)
-        got = res64_jit(res64_consts, probe)
-        jit_ok = float(jnp.linalg.norm(got - ref)) <= 1e-9 * (
-            float(jnp.linalg.norm(ref)) + 1e-300
-        )
-        if jit_ok:
-            res64 = lambda consts, u: res64_jit(consts, u)
-        else:
-            if verbose:
-                print(
-                    "[solve_mixed] compiled f64 residual disagrees with the "
-                    "eager evaluation (XLA:TPU f64-emulation fusion bug); "
-                    "falling back to eager outer residuals",
-                    flush=True,
-                )
-            res64 = lambda consts, u: model64.residual(u)
 
         mg = None
         if preconditioner == "mg":
@@ -655,16 +641,7 @@ class StructuredHyperelasticModel:
                 mg is not None and self._pallas_active() and self.num_dofs > 3_000_000
             )
 
-        u = u_zero if u0 is None else jnp.asarray(u0, jnp.float64)
-        f = res64(res64_consts, u)
-        nf0 = float(jnp.linalg.norm(f))
-        nf = nf0
-        alphas = [float(a) for a in backtracking_alphas()]
-        status, k = NEWTON_MAX_ITER, 0
-        if nf0 == 0.0:
-            status = NEWTON_CONVERGED
-        for k in range(1, max_newton_iterations + 1):
-            u32 = u.astype(jnp.float32)
+        def inner_solve(k, u32, f32):
             if mg is not None:
                 prec = mg
             else:
@@ -672,7 +649,7 @@ class StructuredHyperelasticModel:
                 prec = lambda v: inv_diag * v
             cg = conjugate_gradient(
                 lambda v: self.hessian_vector_product(u32, v),
-                jnp.asarray(f, jnp.float32),
+                f32,
                 preconditioner=prec,
                 rel_tolerance=cg_rel_tolerance,
                 max_iter=cg_max_iter,
@@ -685,33 +662,17 @@ class StructuredHyperelasticModel:
                     f"status={int(cg.status)} |r|={float(cg.residual_norm):.3e}",
                     flush=True,
                 )
-            d = cg.x.astype(jnp.float64)
-            # Armijo backtracking on the f64 residual norm
-            accepted = False
-            for alpha in alphas:
-                u_try = u - alpha * d
-                f_try = res64(res64_consts, u_try)
-                nf_try = float(jnp.linalg.norm(f_try))
-                if verbose:
-                    print(
-                        f"[solve_mixed it {k}] alpha={alpha:g} "
-                        f"|f|={nf_try:.6e} (prev {nf:.6e})",
-                        flush=True,
-                    )
-                if nf_try**2 <= (1.0 - 1e-4 * alpha) * nf**2:
-                    u, f, nf, accepted = u_try, f_try, nf_try, True
-                    break
-            if not accepted:
-                status = NEWTON_LINE_SEARCH_FAILED
-                break
-            if nf <= tolerance * nf0:
-                status = NEWTON_CONVERGED
-                break
-        return NewtonResult(
-            x=u,
-            iterations=jnp.asarray(k, jnp.int32),
-            status=jnp.asarray(status, jnp.int32),
-            residual_norm=jnp.asarray(nf),
+            return cg.x
+
+        u = jnp.zeros(self.num_dofs, jnp.float64) if u0 is None else u0
+        return mixed_precision_newton(
+            model64.residual,
+            inner_solve,
+            u,
+            tolerance=tolerance,
+            max_iterations=max_newton_iterations,
+            probe=probe,
+            verbose=verbose,
         )
 
     # -- interop ---------------------------------------------------------------

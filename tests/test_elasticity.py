@@ -109,3 +109,35 @@ def test_preconditioner_cache_key_pins_object():
     del prec  # the pin must keep the id from being recycled
     assert any(id(p) == pid for p in pins)
     assert int(res1.status) == NEWTON_CONVERGED
+
+
+def test_solve_mixed_unstructured_reaches_f64_accuracy():
+    """HyperelasticModel.solve_mixed: f32 inner CG + f64 outer residual
+    converges to f64 accuracy and matches the all-f64 direct solve — on
+    both the standard and the banded inner path (the latter also pins the
+    f32-sweep-under-x64 dtype purity fixed in assembly/local_em.py:
+    vmap promotes Python-float param leaves to strong f64 without the
+    _cast_float_params guard)."""
+    from fenris_tpu.mesh.reorder import reorder_mesh
+
+    mesh, _ = reorder_mesh(procedural.create_unit_box_uniform_hex_mesh_3d(4))
+    fixed = np.flatnonzero(mesh.points[:, 0] < 1e-12)
+    kw = dict(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=PARAMS,
+        dirichlet_nodes=fixed,
+        body_force=lambda x, p: jnp.array([0.0, 0.0, -4.0], dtype=x.dtype),
+    )
+    r64 = HyperelasticModel(dtype=jnp.float64, **kw).solve(tolerance=1e-12)
+    assert int(r64.status) == NEWTON_CONVERGED
+    for banded in (False, True):
+        m32 = HyperelasticModel(dtype=jnp.float32, banded=banded, **kw)
+        res = m32.solve_mixed(tolerance=1e-11)
+        assert int(res.status) == NEWTON_CONVERGED, f"banded={banded}"
+        assert res.x.dtype == jnp.float64
+        rel = float(jnp.linalg.norm(res.x - r64.x) / jnp.linalg.norm(r64.x))
+        assert rel < 1e-9, f"banded={banded}: {rel}"
+    # f64 models must refuse the mixed path (inner CG is the f32 path)
+    with pytest.raises(ValueError):
+        HyperelasticModel(dtype=jnp.float64, **kw).solve_mixed()

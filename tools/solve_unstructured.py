@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Unstructured-at-scale evidence: banded MXU path + geometric MG on TPU.
+
+VERDICT r1 weak #7 asked for the unstructured preconditioning story at
+scale: CG iteration counts roughly flat across refinement levels at
+>=1M dofs (vs Jacobi's O(1/h) growth), on the *unstructured* code path
+(banded gather/scatter + element-minor sweeps — no structured-grid
+shortcuts).  This tool measures exactly that on a refinement ladder of
+an RCM-reordered hex box (``rcm_refined_hierarchy``), then runs a full
+nonlinear Newton solve at the largest size with the MG preconditioner.
+
+Writes artifacts/unstructured_mg_r2.json.
+
+Usage: python tools/solve_unstructured.py [coarse_res] [max_levels]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def level_case(coarse, levels: int) -> dict:
+    import jax.numpy as jnp
+
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.multigrid import (
+        GeometricMGPreconditioner,
+        rcm_refined_hierarchy,
+    )
+    from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+    from fenris_tpu.sparse.cg import conjugate_gradient
+
+    t0 = time.perf_counter()
+    fine, perm = rcm_refined_hierarchy(coarse, levels)
+    fixed = np.flatnonzero(fine.points[:, 0] < 1e-12)
+    model = HyperelasticModel(
+        mesh=fine,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.614, lam=576.923),
+        dirichlet_nodes=fixed,
+        body_force=lambda x, p: jnp.array([0.0, 0.0, -4.0]),
+        dtype=jnp.float32,  # f32 speed mode (x64 is enabled for solve_mixed)
+        banded=True,
+    )
+    mg = GeometricMGPreconditioner(
+        model, coarse, levels, fine_permutation=perm, banded=True
+    )
+    setup_s = time.perf_counter() - t0
+    print(
+        f"[L{levels}] {model.space.num_dofs} dofs, "
+        f"{model.mesh.num_cells} elements; setup {setup_s:.0f}s",
+        flush=True,
+    )
+
+    u0 = jnp.zeros(model.space.num_dofs, jnp.float32)
+    b = model.residual(u0)
+    hvp = lambda v: model.hessian_vector_product(u0, v)
+    inv_diag = 1.0 / model.hessian_diagonal(u0)
+
+    out = {
+        "levels": levels,
+        "dofs": int(model.space.num_dofs),
+        "elements": int(model.mesh.num_cells),
+        "setup_seconds": round(setup_s, 1),
+    }
+    for name, prec in (("jacobi", lambda v: inv_diag * v), ("mg", mg)):
+        t0 = time.perf_counter()
+        res = conjugate_gradient(
+            hvp, b, preconditioner=prec, rel_tolerance=1e-6, max_iter=4000,
+            check_definiteness=False,
+        )
+        # block on a readback, then re-time warm
+        _ = float(jnp.asarray(res.x).ravel()[0])
+        warm0 = time.perf_counter()
+        res = conjugate_gradient(
+            hvp, b, preconditioner=prec, rel_tolerance=1e-6, max_iter=4000,
+            check_definiteness=False,
+        )
+        _ = float(jnp.asarray(res.x).ravel()[0])
+        wall = time.perf_counter() - warm0
+        out[name] = {
+            "iterations": int(res.num_iterations),
+            "status": int(res.status),
+            "wall_seconds": round(wall, 2),
+        }
+        print(f"[L{levels}] {name}: {out[name]}", flush=True)
+    out["model"] = model
+    out["mg_prec"] = mg
+    return out
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    # x64 for the mixed-precision outer residual; the per-level CG
+    # measurements stay f32 (models are built with dtype=float32)
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+
+    coarse_res = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    max_levels = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    coarse = create_unit_box_uniform_hex_mesh_3d(coarse_res)
+    result = {"device": str(jax.devices()[0]), "coarse_res": coarse_res, "cases": []}
+    cases = []
+    for L in range(1, max_levels + 1):
+        case = level_case(coarse, L)
+        cases.append(case)
+        result["cases"].append(
+            {k: v for k, v in case.items() if k not in ("model", "mg_prec")}
+        )
+
+    # full nonlinear Newton solve at the largest size with MG: the
+    # mixed-precision outer loop (f64 outer residual / f32 banded inner
+    # CG) converges well below the pure-f32 attainable-accuracy floor
+    big = cases[-1]
+    model, mg = big["model"], big["mg_prec"]
+    r0 = float(
+        jnp.linalg.norm(
+            model.residual(jnp.zeros(model.space.num_dofs, jnp.float32))
+        )
+    )
+    t0 = time.perf_counter()
+    res = model.solve_mixed(
+        tolerance=1e-9, cg_rel_tolerance=1e-4, preconditioner=mg,
+        max_newton_iterations=25, verbose=True,
+    )
+    x = np.asarray(res.x)
+    wall = time.perf_counter() - t0
+    rn = float(res.residual_norm)
+    result["newton_solve"] = {
+        "dofs": big["dofs"],
+        "newton_iterations": int(res.iterations),
+        "status": int(res.status),
+        "wall_seconds": round(wall, 1),
+        "residual_norm": rn,
+        "rel_residual": rn / r0,
+        "tip_uz": float(x.reshape(-1, 3)[:, 2].min()),
+    }
+    print(json.dumps(result["newton_solve"]), flush=True)
+
+    path = Path(__file__).resolve().parent.parent / "artifacts" / "unstructured_mg_r2.json"
+    path.write_text(json.dumps(result, indent=1))
+    print("wrote", path, flush=True)
+
+
+if __name__ == "__main__":
+    main()
