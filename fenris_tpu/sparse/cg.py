@@ -68,6 +68,7 @@ def conjugate_gradient(
     max_iter: Optional[int] = None,
     check_definiteness: bool = True,
     host_loop: bool = False,
+    validate_operator: bool = False,
 ) -> CgResult:
     """Solve ``A x = b`` for SPD ``A`` with (optionally preconditioned) CG.
 
@@ -85,6 +86,15 @@ def conjugate_gradient(
     TPU worker at ≥10M dofs (XLA/Mosaic scoped-VMEM interaction), while
     the split programs are reliable; the per-iteration dispatch overhead
     is negligible against ≥10ms operator applications.
+
+    ``validate_operator=True`` (host loop only) probes the *compiled*
+    operator and preconditioner programs against their eager evaluations
+    on ``b`` before iterating, falling back to eager evaluation (correct
+    but much slower) with a loud warning on mismatch.  XLA:TPU has
+    repeatedly miscompiled large fused programs on this platform (dropped
+    z-slab contributions, wrong flat-select planes — see CLAUDE.md); a
+    silently wrong operator makes CG diverge or misconverge, so solvers
+    at ≥10M dofs validate once per solve.
     """
     A = _as_operator(operator)
     M = _as_operator(preconditioner) if preconditioner is not None else None
@@ -113,6 +123,7 @@ def conjugate_gradient(
         return _cg_host(
             A_conv, a_consts, M_conv, m_consts, b, x0,
             rel_tolerance, int(max_iter), bool(check_definiteness),
+            eager_fns=(A, M) if validate_operator else None,
         )
 
     def run(a_consts, m_consts, b, x0):
@@ -150,16 +161,52 @@ def _host_beta_update(r1, z1, p, rz):
 
 
 def _cg_host(A_conv, a_consts, M_conv, m_consts, b, x0,
-             rel_tolerance, max_iter, check_definiteness):
+             rel_tolerance, max_iter, check_definiteness, eager_fns=None):
     """Host-driven PCG (see ``conjugate_gradient(host_loop=True)``).
 
     Identical algorithm and status taxonomy as :func:`_cg_loop`; the loop
     runs in Python with jitted stages, so the operator (e.g. a Pallas
     stencil kernel) and the preconditioner (e.g. an MG V-cycle) never
-    share one XLA program.
+    share one XLA program.  ``eager_fns=(A_eager, M_eager)`` enables the
+    compiled-program probe validation described in
+    :func:`conjugate_gradient`.
     """
     A = jax.jit(lambda consts, v: A_conv(v, *consts))
     M = None if M_conv is None else jax.jit(lambda consts, v: M_conv(v, *consts))
+
+    if eager_fns is not None:
+        import warnings
+
+        A_eager, M_eager = eager_fns
+        # legitimate jit-vs-eager deviation is reduction reordering
+        # (~1e-7 rel in f32); miscompiles are O(1) — a wide margin splits
+        # them unambiguously
+        rtol = 1e-4 if b.dtype == jnp.float32 else 1e-9
+        ref = A_eager(b)
+        got = A(a_consts, b)
+        if float(jnp.linalg.norm(got - ref)) > rtol * (
+            float(jnp.linalg.norm(ref)) + 1e-300
+        ):
+            warnings.warn(
+                "compiled CG operator disagrees with its eager evaluation "
+                "(XLA:TPU fusion miscompile — see CLAUDE.md); driving the "
+                "operator eagerly (correct but slower)",
+                stacklevel=3,
+            )
+            A = lambda consts, v: A_eager(v)
+        if M is not None:
+            ref = M_eager(b)
+            got = M(m_consts, b)
+            if float(jnp.linalg.norm(got - ref)) > rtol * (
+                float(jnp.linalg.norm(ref)) + 1e-300
+            ):
+                warnings.warn(
+                    "compiled CG preconditioner disagrees with its eager "
+                    "evaluation (XLA:TPU fusion miscompile — see CLAUDE.md); "
+                    "applying it eagerly (correct but slower)",
+                    stacklevel=3,
+                )
+                M = lambda consts, v: M_eager(v)
 
     b_norm = float(jnp.linalg.norm(b))
     tol = float(rel_tolerance) * b_norm

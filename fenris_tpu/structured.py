@@ -655,6 +655,10 @@ class StructuredHyperelasticModel:
                 max_iter=cg_max_iter,
                 check_definiteness=False,
                 host_loop=bool(cg_host_loop),
+                # probe the compiled operator/preconditioner programs once
+                # per solve (first Newton iteration) on this
+                # miscompile-prone platform
+                validate_operator=bool(cg_host_loop) and k == 1,
             )
             if verbose:
                 print(

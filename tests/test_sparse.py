@@ -238,3 +238,44 @@ def test_solve_mixed_host_loop_agrees(rng):
     assert int(r_host.status) == int(r_dev.status)
     nd = np.linalg.norm(np.asarray(r_dev.x))
     assert np.linalg.norm(np.asarray(r_host.x) - np.asarray(r_dev.x)) <= 1e-9 * nd
+
+
+def test_host_loop_validate_operator_catches_bad_program(rng):
+    """conjugate_gradient(validate_operator=True) probes the compiled
+    operator against its eager evaluation and falls back to eager on
+    mismatch (the XLA:TPU fusion-miscompile guard; CLAUDE.md).  An
+    operator whose traced behavior differs from its eager behavior stands
+    in for a miscompiled program."""
+    import warnings
+
+    import jax.core
+
+    n = 48
+    Q = rng.standard_normal((n, n))
+    A = jnp.asarray(Q @ Q.T + n * np.eye(n), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    # consistent operator: no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        res = conjugate_gradient(
+            lambda v: A @ v, b, rel_tolerance=1e-5,
+            host_loop=True, validate_operator=True,
+        )
+    assert int(res.status) == CG_CONVERGED
+
+    def inconsistent(v):
+        if isinstance(v, jax.core.Tracer):  # the compiled program is wrong
+            return 2.0 * (A @ v)
+        return A @ v
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res2 = conjugate_gradient(
+            inconsistent, b, rel_tolerance=1e-5,
+            host_loop=True, validate_operator=True,
+        )
+    assert any("disagrees" in str(x.message) for x in w)
+    assert int(res2.status) == CG_CONVERGED  # eager fallback still solves
+    x_ref = np.linalg.solve(np.asarray(A, np.float64), np.asarray(b, np.float64))
+    assert np.linalg.norm(np.asarray(res2.x) - x_ref) < 1e-3 * np.linalg.norm(x_ref)
