@@ -576,7 +576,7 @@ class HyperelasticModel:
         cg_rel_tolerance: float = 1e-4,
         cg_max_iter: int = 2000,
         preconditioner: Optional[Callable] = None,
-        cg_host_loop: bool = False,
+        cg_host_loop: Optional[bool] = None,
         verbose: bool = False,
     ) -> NewtonResult:
         """Mixed-precision Newton-Krylov: f64 outer residual, f32 inner CG.
@@ -615,14 +615,31 @@ class HyperelasticModel:
             0.01 * h_est
         )
 
+        # linearize once per Newton iteration when the residual memory is
+        # affordable (one gather + stored-primal tangent per CG iteration
+        # instead of re-gathering/re-evaluating u element data every
+        # application); same guard as solve()
+        use_lin = self.mesh.num_cells * self.tab.num_points <= 16_000_000
+
+        if cg_host_loop is None:
+            # see StructuredHyperelasticModel.solve_mixed: XLA:TPU has
+            # miscompiled operators fused inside the CG while_loop at
+            # >1M dofs; host-loop programs are probe-validated
+            cg_host_loop = self.space.num_dofs > 1_000_000
+
         def inner_solve(k, u32, f32):
             if preconditioner is None:
                 inv_diag = 1.0 / self.hessian_diagonal(u32)
                 prec = lambda v: inv_diag * v
             else:
                 prec = preconditioner
+            hvp = (
+                self.hessian_operator(u32)
+                if use_lin
+                else (lambda v: self.hessian_vector_product(u32, v))
+            )
             cg = conjugate_gradient(
-                lambda v: self.hessian_vector_product(u32, v),
+                hvp,
                 f32,
                 preconditioner=prec,
                 rel_tolerance=cg_rel_tolerance,

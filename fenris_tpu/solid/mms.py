@@ -48,7 +48,7 @@ def manufactured_body_force(material, params, u_exact):
 
     def body_force(x, p=None):
         dP = jax.jacfwd(P)(x)  # [i, j, k] = d P_ij / d x_k
-        return -jnp.einsum("ijj->i", dP)
+        return -jnp.einsum("ijj->i", dP, precision="highest")
 
     return body_force
 

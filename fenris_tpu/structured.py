@@ -216,10 +216,10 @@ class StructuredHyperelasticModel:
         to the uniform grid (exact for the stiffness rule's strength).
         """
         U = self._gather_elements(self._grid(jnp.asarray(u, self.dtype)))
-        uh_q = jnp.einsum("qn,ns...->qs...", self.phi, U)  # [q, s, zc, yc, xc]
+        uh_q = _einsum("qn,ns...->qs...", self.phi, U)  # [q, s, zc, yc, xc]
         ue_q = self._eval_at_qps(u_exact)
         d = uh_q - ue_q
-        return float(jnp.sqrt(jnp.einsum("q,qszyx->", self.wdet, d * d)))
+        return float(jnp.sqrt(_einsum("q,qszyx->", self.wdet, d * d)))
 
     def _external_forces(self):
         if self.body_force is None:
@@ -227,7 +227,7 @@ class StructuredHyperelasticModel:
         if callable(self.body_force):
             # spatially varying load: f_ext[I] = sum_el sum_q w detJ phi_I(q) f(x_q)
             Fq = self._eval_at_qps(lambda x: self.body_force(x, self.params))
-            f_el = jnp.einsum("q,qn,qs...->ns...", self.wdet, self.phi, Fq)
+            f_el = _einsum("q,qn,qs...->ns...", self.wdet, self.phi, Fq)
             return self._ungrid(self._scatter_nodes(f_el))
         b = jnp.asarray(self.body_force, self.dtype)
         f_el_node = jnp.sum(self.wdet) / 8.0 * b  # [3]
@@ -637,9 +637,14 @@ class StructuredHyperelasticModel:
 
             mg = StructuredMGPreconditioner(self)
         if cg_host_loop is None:
-            cg_host_loop = (
-                mg is not None and self._pallas_active() and self.num_dofs > 3_000_000
-            )
+            # Host loop above 1M dofs: XLA:TPU has miscompiled the operator
+            # *inside* the fused CG while_loop at (62,62,116) (reported
+            # |r| 1e-8, true residual 0.196 — device-loop-only; the
+            # standalone jit of the same hvp is bit-exact), and faulted the
+            # worker at >=10M with Pallas+MG.  Host-loop programs are
+            # individually probe-validated (validate_operator) and the
+            # 2 readbacks/iter are negligible against >=10ms operators.
+            cg_host_loop = self.num_dofs > 1_000_000
 
         def inner_solve(k, u32, f32):
             if mg is not None:
