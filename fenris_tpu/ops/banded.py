@@ -285,23 +285,28 @@ def _gather_kernel(plan: BandedPlan, a_ref, b_ref, u_hbm, out_ref, win, sem):
 def _gather_blocked_tpu(plan: BandedPlan, a_loc, b_loc, ub):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    from jax._src.config import enable_x64
 
     s, rowt, n_rowt = plan.s, plan.rowt, plan.n_rowt
-    out = pl.pallas_call(
-        partial(_gather_kernel, plan),
-        grid=(plan.k_blocks, n_rowt),
-        in_specs=[
-            pl.BlockSpec((1, rowt), lambda k, j: (0, k * n_rowt + j)),
-            pl.BlockSpec((1, rowt), lambda k, j: (0, k * n_rowt + j)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((s, rowt), lambda k, j: (0, k * n_rowt + j)),
-        out_shape=jax.ShapeDtypeStruct((s, plan.k_blocks * plan.rows), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((plan.wa, s * 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(a_loc, b_loc, ub)
+    # trace with 32-bit default dtypes even under jax_enable_x64: weak
+    # Python ints in the index maps otherwise become i64, which Mosaic
+    # fails to legalize (see ops/structured_stencil.py)
+    with enable_x64(False):
+        out = pl.pallas_call(
+            partial(_gather_kernel, plan),
+            grid=(plan.k_blocks, n_rowt),
+            in_specs=[
+                pl.BlockSpec((1, rowt), lambda k, j: (0, k * n_rowt + j)),
+                pl.BlockSpec((1, rowt), lambda k, j: (0, k * n_rowt + j)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((s, rowt), lambda k, j: (0, k * n_rowt + j)),
+            out_shape=jax.ShapeDtypeStruct((s, plan.k_blocks * plan.rows), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((plan.wa, s * 128), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(a_loc, b_loc, ub)
     return _rows_to_elements(plan, out)
 
 
@@ -342,26 +347,30 @@ def _scatter_blocked_tpu(plan: BandedPlan, a_loc, b_loc, valid_rows, f_el):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from jax._src.config import enable_x64
+
     s, rowt, n_rowt, wa, ra = plan.s, plan.rowt, plan.n_rowt, plan.wa, plan.ra
     rows_sm = _elements_to_rows(plan, f_el.astype(jnp.float32))
-    buf = pl.pallas_call(
-        partial(_scatter_kernel, plan),
-        grid=(plan.k_blocks, n_rowt),
-        in_specs=[
-            pl.BlockSpec((s, rowt), lambda k, j: (0, k * n_rowt + j)),
-            pl.BlockSpec((1, rowt), lambda k, j: (0, k * n_rowt + j)),
-            pl.BlockSpec((1, rowt), lambda k, j: (0, k * n_rowt + j)),
-            pl.BlockSpec((1, rowt), lambda k, j: (0, k * n_rowt + j)),
-        ],
-        out_specs=pl.BlockSpec((1, wa, s * 128), lambda k, j: (k, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(
-            (plan.k_blocks, wa, s * 128), jnp.float32
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((wa, s * 128), jnp.float32),
-            pltpu.VMEM((s * 128, rowt), jnp.float32),
-        ],
-    )(rows_sm, b_loc, a_loc, valid_rows)
+    # 32-bit trace under jax_enable_x64 — see _gather_blocked_tpu
+    with enable_x64(False):
+        buf = pl.pallas_call(
+            partial(_scatter_kernel, plan),
+            grid=(plan.k_blocks, n_rowt),
+            in_specs=[
+                pl.BlockSpec((s, rowt), lambda k, j: (0, k * n_rowt + j)),
+                pl.BlockSpec((1, rowt), lambda k, j: (0, k * n_rowt + j)),
+                pl.BlockSpec((1, rowt), lambda k, j: (0, k * n_rowt + j)),
+                pl.BlockSpec((1, rowt), lambda k, j: (0, k * n_rowt + j)),
+            ],
+            out_specs=pl.BlockSpec((1, wa, s * 128), lambda k, j: (k, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (plan.k_blocks, wa, s * 128), jnp.float32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((wa, s * 128), jnp.float32),
+                pltpu.VMEM((s * 128, rowt), jnp.float32),
+            ],
+        )(rows_sm, b_loc, a_loc, valid_rows)
     # halo combine: window k covers block-rows [k*ra, k*ra + wa)
     depth = -(-wa // ra)
     bufp = jnp.pad(buf, ((0, 0), (0, depth * ra - wa), (0, 0)))
