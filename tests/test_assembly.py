@@ -237,6 +237,39 @@ def test_chunked_scatter_matches_unchunked(rng):
     assert np.abs(v1 - v2).max() < 1e-12
 
 
+def test_chunked_element_matrices_match_unchunked(rng):
+    """chunk= bounds TPU memory; must not change values (incl. per-el params)."""
+    from fenris_tpu.fem import FemSpace
+    from fenris_tpu.quadrature.canonical import canonical_stiffness
+    from fenris_tpu.solid import (
+        LameParameters,
+        MaterialEllipticOperator,
+        NeoHookeanMaterial,
+    )
+
+    mesh = procedural.create_unit_box_uniform_hex_mesh_3d(3)  # 27 elements
+    space = FemSpace.create(mesh)
+    op = MaterialEllipticOperator(NeoHookeanMaterial(), dim=3)
+    E, n = mesh.num_cells, mesh.element.num_nodes
+    params = LameParameters(
+        mu=jnp.asarray(rng.uniform(300.0, 400.0, E)),  # per-element leaf
+        lam=jnp.asarray(576.9),
+    )
+    tab = L.tabulate(mesh.element, canonical_stiffness(mesh.element))
+    u = jnp.asarray(rng.uniform(-0.01, 0.01, size=(E, n, 3)))
+    A0 = np.asarray(
+        L.assemble_element_elliptic_matrices(space.X_geo, u, op, params, tab)
+    )
+    # chunk=4 does not divide 27: exercises the repeated-element padding tail
+    A1 = np.asarray(
+        L.assemble_element_elliptic_matrices(
+            space.X_geo, u, op, params, tab, chunk=4
+        )
+    )
+    # reduction-order roundoff only (XLA fuses the two programs differently)
+    assert np.abs(A0 - A1).max() < 1e-12 * np.abs(A0).max()
+
+
 def test_surface_traction_load():
     """Traction on the top face of a cube: total load = traction * area."""
     import jax.numpy as jnp
