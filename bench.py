@@ -192,20 +192,29 @@ def bench_spmv(res: int = 69):
         m = BlockEllMatrix(neighbors, blocks, ell.num_nodes, ell.solution_dim)
         return v + 1e-12 * (m @ v)
 
-    dt_csr = device_loop_time(
-        csr_step, v0, 6, operands=(csr.row_ptr, csr.col_indices, csr.values)
-    )
+    # ELL first: the scalar-CSR program (one irregular index per nnz) has
+    # faulted the TPU worker at this size, which kills every subsequent
+    # device call in the process — measure the headline layout before
+    # risking it, and report partial results on a crash.
+    out = {"dofs": ndofs, "nnz": nnz}
     dt_ell = device_loop_time(ell_step, v0, 10, operands=(ell.neighbors, ell.blocks))
-    return {
-        "dofs": ndofs,
-        "nnz": nnz,
-        "csr_ms": round(dt_csr * 1e3, 3),
-        "csr_gbps": round(bytes_eff / dt_csr / 1e9, 2),
-        "block_ell_ms": round(dt_ell * 1e3, 3),
-        "block_ell_gbps": round(bytes_eff / dt_ell / 1e9, 2),
-        "block_ell_vs_csr": round(dt_csr / dt_ell, 2),
-        "hbm_fraction_ell": round(bytes_eff / dt_ell / 1e9 / V5E_HBM_GBPS, 3),
-    }
+    out.update(
+        block_ell_ms=round(dt_ell * 1e3, 3),
+        block_ell_gbps=round(bytes_eff / dt_ell / 1e9, 2),
+        hbm_fraction_ell=round(bytes_eff / dt_ell / 1e9 / V5E_HBM_GBPS, 3),
+    )
+    try:
+        dt_csr = device_loop_time(
+            csr_step, v0, 6, operands=(csr.row_ptr, csr.col_indices, csr.values)
+        )
+        out.update(
+            csr_ms=round(dt_csr * 1e3, 3),
+            csr_gbps=round(bytes_eff / dt_csr / 1e9, 2),
+            block_ell_vs_csr=round(dt_csr / dt_ell, 2),
+        )
+    except Exception as e:
+        out["csr_error"] = f"{type(e).__name__}: {e}"
+    return out
 
 
 def main() -> None:
@@ -300,14 +309,16 @@ def main() -> None:
     except Exception as e:  # never let the secondary metric break the bench
         unstructured = {"error": f"{type(e).__name__}: {e}"}
 
-    try:
-        spmv_detail = bench_spmv()
-    except Exception as e:
-        spmv_detail = {"error": f"{type(e).__name__}: {e}"}
+    # roofline before spmv: the scalar-CSR program has faulted the TPU
+    # worker, which would poison every later device call in this process
     try:
         roofline_detail = bench_element_stiffness_roofline()
     except Exception as e:
         roofline_detail = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        spmv_detail = bench_spmv()
+    except Exception as e:
+        spmv_detail = {"error": f"{type(e).__name__}: {e}"}
 
     elps = E / dt_hvp
     print(

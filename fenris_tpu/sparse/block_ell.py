@@ -4,17 +4,27 @@ Parity target: fenris-sparse's CSR SpMV inside CG (cg.rs:373-450).  The
 plain CSR formulation (gather + segment-sum over nnz scalars,
 :func:`..sparse.spmv`) performs one irregular index per scalar value —
 the worst possible shape for the TPU memory system.  This module stores
-the same operator as **node-block ELL**: for a dof layout with
-``solution_dim = s`` (node-major), row blocks are nodes, and
+the same operator as **node-block ELL in node-minor layout**: for a dof
+layout with ``solution_dim = s`` (node-major), row blocks are nodes, and
 
-* ``neighbors [N, K] int32`` — the (padded) node adjacency,
-* ``blocks [N, K, s, s]`` — the corresponding dense s×s coupling blocks.
+* ``neighbors [K, N] int32`` — the (padded) node adjacency,
+* ``blocks [K*s*s, N]`` — the dense s×s coupling blocks, flattened so the
+  node axis is minor.
 
-The matvec gathers ``K`` *rows* of ``x.reshape(N, s)`` per node (s
-contiguous scalars per index → s-fold fewer indices than CSR) and
-contracts with one batched einsum, which XLA fuses into a single
-bandwidth-bound sweep over the block values.  Padding rows carry index
-``N`` into an appended zero row, keeping the kernel branch-free.
+Node-minor is load-bearing on TPU: the natural ``[N, K, s, s]`` layout
+tiles its two minor axes to (8, 128) lanes — a ~50x padding blowup that
+exceeds HBM outright above ~10^5 nodes (observed: a 1.33GB logical blocks
+array demanding a 19GB padded allocation on a 16GB v5e).  With the node
+axis minor, every row ``blocks[(k,i,j), :]`` is a full-lane ``[N]``
+vector, padding is only ``K*s*s`` → the next multiple of 8 sublanes, and
+the matvec unrolls the tiny (k, i, j) loops into full-lane fused
+multiply-adds — one bandwidth-bound sweep over the block values (the
+same element-minor principle as :mod:`..assembly.local_em`).
+
+The matvec gathers ``K`` neighbor values per component of ``x`` (s*K
+1-D full-lane gathers, s-fold fewer indices than CSR).  Padding slots
+carry index ``N`` into an appended zero row, keeping the kernel
+branch-free.
 
 FEM stiffness matrices have near-uniform row counts (interior hex8 node:
 27 neighbors), so ELL padding waste is small; the layout is exactly the
@@ -30,14 +40,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import MATMUL_PRECISION
-
 __all__ = ["BlockEllMatrix", "block_ell_from_csr"]
 
 
 class BlockEllMatrix(NamedTuple):
-    neighbors: jnp.ndarray  # [N, K] int32, padded with N
-    blocks: jnp.ndarray  # [N, K, s, s]
+    neighbors: jnp.ndarray  # [K, N] int32, padded with N
+    blocks: jnp.ndarray  # [K*s*s, N], row (k,i,j) = (k*s + i)*s + j
     num_nodes: int
     solution_dim: int
 
@@ -51,14 +59,14 @@ class BlockEllMatrix(NamedTuple):
 
 
 def block_ell_from_csr(pattern, values) -> BlockEllMatrix:
-    """Convert assembled CSR values into block-ELL.
+    """Convert assembled CSR values into node-minor block-ELL.
 
     ``pattern`` is an assembly :class:`~..assembly.global_.CsrPattern`
     (node-major dof layout, sorted columns — both guaranteed by the
     builder); ``values`` the matching [nnz] device array.  The host builds
-    a one-time index map ``[N, K, s, s] -> nnz`` (pads point at a zero
+    a one-time index map ``[K*s*s, N] -> nnz`` (pads point at a zero
     slot appended to the values), so re-assembled values convert with a
-    single device gather.
+    single device gather straight into the node-minor layout.
     """
     s = int(pattern.solution_dim)
     N = pattern.num_rows // s
@@ -81,10 +89,11 @@ def block_ell_from_csr(pattern, values) -> BlockEllMatrix:
     base = row_ptr[(nk_n[:, None] * s + c_idx)[..., None]]  # [M, s, 1]
     pos = base + (nk_k[:, None, None] * s + c_idx[None, None, :])
     idx[nk_n, nk_k] = pos
-    idx_j = jnp.asarray(idx.reshape(-1))
-    blocks = _gather_blocks(values, idx_j, N, K, s)
+    # node-minor: [N, K, s, s] -> [K*s*s, N]
+    idx_nm = np.ascontiguousarray(idx.transpose(1, 2, 3, 0)).reshape(K * s * s, N)
+    blocks = _gather_blocks(values, jnp.asarray(idx_nm.reshape(-1)), N, K, s)
     return BlockEllMatrix(
-        neighbors=jnp.asarray(neighbors),
+        neighbors=jnp.asarray(np.ascontiguousarray(neighbors.T)),
         blocks=blocks,
         num_nodes=N,
         solution_dim=s,
@@ -94,14 +103,25 @@ def block_ell_from_csr(pattern, values) -> BlockEllMatrix:
 @partial(jax.jit, static_argnames=("N", "K", "s"))
 def _gather_blocks(values, idx, N: int, K: int, s: int):
     padded = jnp.concatenate([values, jnp.zeros(1, values.dtype)])
-    return padded[idx].reshape(N, K, s, s)
+    return padded[idx].reshape(K * s * s, N)
 
 
 def block_ell_matvec(m: BlockEllMatrix, v):
-    """y = A x with one row-gather + one batched block contraction."""
-    s = m.solution_dim
-    xb = v.reshape(m.num_nodes, s)
+    """y = A x: s*K full-lane gathers + unrolled full-lane multiply-adds.
+
+    The (k, i, j) loops are unrolled at trace time over [N]-shaped
+    vectors (K*s*s fused multiply-adds), so every device op runs at full
+    lane occupancy and the sweep is bound by reading ``blocks`` once.
+    """
+    s, N, K = m.solution_dim, m.num_nodes, m.neighbors.shape[0]
+    xb = v.reshape(N, s)
     x_pad = jnp.concatenate([xb, jnp.zeros((1, s), xb.dtype)])
-    xg = x_pad[m.neighbors]  # [N, K, s]
-    y = jnp.einsum("nkij,nkj->ni", m.blocks, xg, precision=MATMUL_PRECISION)
-    return y.reshape(-1)
+    xcols = [x_pad[:, j] for j in range(s)]  # [N+1] each
+    y = [jnp.zeros(N, v.dtype) for _ in range(s)]
+    for k in range(K):
+        nb = m.neighbors[k]  # [N]
+        for j in range(s):
+            xg = jnp.take(xcols[j], nb, axis=0)  # [N] full-lane gather
+            for i in range(s):
+                y[i] = y[i] + m.blocks[(k * s + i) * s + j] * xg
+    return jnp.stack(y, axis=1).reshape(-1)
