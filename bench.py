@@ -271,7 +271,11 @@ def main() -> None:
         "hbm_fraction_floor": round(hbm_frac, 4),
         "xla_workmodel_flops_per_el": XLA_CPU_WORKMODEL_FLOPS_PER_EL,
         "achieved_gflops_lower_bound": round(flops / dt_hvp / 1e9, 1),
-        "bound": "compute (HBM floor is {:.1%} of peak)".format(hbm_frac),
+        # derived, not asserted: a regressed kernel whose HBM floor exceeds
+        # half of peak would be reported as memory-bound
+        "bound": "{} (HBM floor is {:.1%} of peak)".format(
+            "compute" if hbm_frac < 0.5 else "memory", hbm_frac
+        ),
     }
 
     # secondary: unstructured banded-kernel path (ops/banded + local_em)
@@ -309,8 +313,11 @@ def main() -> None:
     except Exception as e:  # never let the secondary metric break the bench
         unstructured = {"error": f"{type(e).__name__}: {e}"}
 
-    # roofline before spmv: the scalar-CSR program has faulted the TPU
-    # worker, which would poison every later device call in this process
+    # ORDERING INVARIANT: bench_spmv must stay the LAST device work in this
+    # process — its scalar-CSR program has faulted the TPU worker, and a
+    # faulted worker poisons every subsequent device call (the except below
+    # only saves the JSON output, not the device).  Add new benchmarks
+    # ABOVE this block.
     try:
         roofline_detail = bench_element_stiffness_roofline()
     except Exception as e:

@@ -339,6 +339,18 @@ def _chunked_elliptic_matrices(X_geo, u_el, op, params, tab: Tabulation, chunk: 
 
     leaves, treedef = jax.tree_util.tree_flatten(params)
     mapped = [hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == E for x in leaves]
+    # A constant (unmapped) leaf whose leading dim happens to equal ``chunk``
+    # would be reclassified as per-element inside the chunked call (where
+    # E_inner == chunk, the _vmap2 convention) — a silent semantic change vs
+    # the unchunked path.  Fail loudly instead.
+    for x, m_ in zip(leaves, mapped):
+        if not m_ and hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == chunk:
+            raise ValueError(
+                f"chunk={chunk} collides with a constant parameter leaf of "
+                f"shape {x.shape}: inside a chunk (E == chunk) _vmap2 would "
+                "reclassify the leaf as per-element. Pick a different chunk "
+                "size or give the leaf an explicit leading axis."
+            )
     mleaves = tuple(split(x) for x, m_ in zip(leaves, mapped) if m_)
 
     def body(args):
