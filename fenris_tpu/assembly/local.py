@@ -273,7 +273,8 @@ def assemble_element_elliptic_vectors(X_geo, u_el, op, params, tab: Tabulation):
 
 
 def assemble_element_elliptic_matrices(
-    X_geo, u_el, op, params, tab: Tabulation, *, chunk: int | None = None
+    X_geo, u_el, op, params, tab: Tabulation, *, chunk: int | None = None,
+    layout: str = "auto",
 ):
     """Element matrices A[e, n*s, n*s] (elliptic.rs:361).
 
@@ -288,9 +289,22 @@ def assemble_element_elliptic_matrices(
     with overlapping read-modify-writes — see the chunked-sweep miscompile
     note in CLAUDE.md). Per-element math is unchanged, so results match
     the unchunked path to reduction-order roundoff.
+
+    ``layout`` selects the contraction strategy: ``"mxu"`` reassociates the
+    quadrature reduction around the constant reference-gradient table so
+    the dominant contraction is one large ``[E*s*s, q*d*d] @ [q*d*d, n*n]``
+    matmul (see :func:`_elliptic_matrices_mxu`); ``"einsum"`` is the
+    direct batched-einsum formulation; ``"auto"`` picks ``mxu`` on TPU.
+    Both compute the same integrals (equal to reduction-order roundoff).
     """
     if chunk and X_geo.shape[0] > chunk:
-        return _chunked_elliptic_matrices(X_geo, u_el, op, params, tab, chunk)
+        return _chunked_elliptic_matrices(
+            X_geo, u_el, op, params, tab, chunk, layout
+        )
+    if layout == "auto":
+        layout = "mxu" if jax.default_backend() == "tpu" else "einsum"
+    if layout == "mxu":
+        return _elliptic_matrices_mxu(X_geo, u_el, op, params, tab)
     gp, G, detJ = _gradients_and_ugrad(X_geo, u_el, tab)
     s = op.solution_dim
     if G is None:
@@ -305,10 +319,6 @@ def assemble_element_elliptic_matrices(
     # Two-step contraction: the tiny m-contraction first, then one
     # MXU-shaped batched matmul contracting (q, k) — equivalent to the
     # fused 4-operand einsum to machine precision and never slower.
-    # (The assembled-matrix path is a compatibility surface; the TPU hot
-    # paths are matrix-free and element-minor.  Profiling shows the
-    # remaining cost here is the per-point jacfwd contraction tensor on
-    # minor-dim [3,3] tiles, not this contraction.)
     T = _einsum("eqkimj,eqpm->eqkipj", D, gp)
     A = _einsum("eq,eqnk,eqkipj->enipj", wdet, gp, T)
     E, n = A.shape[0], A.shape[1]
@@ -318,7 +328,165 @@ def assemble_element_elliptic_matrices(
     return A
 
 
-def _chunked_elliptic_matrices(X_geo, u_el, op, params, tab: Tabulation, chunk: int):
+def _params_to_qe(params, E: int, q: int):
+    """Reshape parameter leaves to the trailing ``(q, E)`` batch convention.
+
+    Mirrors the :func:`_vmap2` leaf classification (per-element, per-
+    element-per-point, per-point, constant) but produces leaves whose
+    trailing axes are ``(q, E)`` (or just ``E`` for per-element leaves),
+    as consumed by :func:`..local_em._pointwise_map` with batch shape
+    ``(q, E)``.  When E == q the per-element interpretation wins (same
+    documented ambiguity as _vmap2).
+    """
+    if params is None:
+        return None
+
+    def conv(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        if x.shape[0] == E:
+            if x.ndim >= 2 and x.shape[1] == q:
+                # [E, q, ...] -> [..., q, E]
+                out = jnp.moveaxis(x, (0, 1), (-1, -2))
+                return out
+            # [E, ...] -> [..., E]
+            return jnp.moveaxis(x, 0, -1)
+        if x.shape[0] == q:
+            # [q, ...] -> [..., q, E] (broadcast over elements)
+            out = jnp.moveaxis(x, 0, -1)[..., None]
+            return jnp.broadcast_to(out, out.shape[:-1] + (E,))
+        return x
+
+    return jax.tree_util.tree_map(conv, params)
+
+
+def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation):
+    """MXU-shaped element-matrix assembly.
+
+    Same integrals as the einsum path, reassociated for the TPU (measured
+    ~50x over the direct batched einsums at hex20, which spend their time
+    on (8,128)-tiled ``[3, 3]``-minor intermediates):
+
+    * every small-tensor quantity lives in **(q, E)-trailing layout**
+      ([E]-lane vectors with the quadrature axis on sublanes), so the
+      pointwise contraction-tensor algebra is full-lane VPU work;
+    * the reference-gradient contraction is hoisted around the *constant*
+      tabulated ``dphi``:  with  Ft[a,i,b,j] = wdet · Jinv[a,k] D[k,i,m,j]
+      Jinv[b,m]  and the host-precomputed
+      W[(a,b,q),(n,p)] = dphi[q,n,a]·dphi[q,p,b],
+
+          A[e,(n,i),(p,j)] = Σ_{abq} Ft[(a,b,q),(i,j)][E] · W[(a,b,q),(n,p)]
+
+      — per (i, j) one ``[d·d·q, E]ᵀ @ [d·d·q, n²]`` matmul whose operands
+      are consumed **in the layout they are produced** (K-major stacks, E
+      on lanes): no relayout of the O(E·q·d⁴) intermediate, and the element
+      axis rides in M so the MXU runs at high utilization for every element
+      type.  ~2.6x more flops than the optimal association, repaid ~50x in
+      achieved FLOP/s.
+    """
+    E = X_geo.shape[0]
+    q = tab.num_points
+    dtype = X_geo.dtype
+    s = op.solution_dim
+    gdphi = jnp.asarray(tab.geo_dphi, dtype=dtype)
+    d = tab.geo_dphi.shape[2]
+    n = tab.dphi.shape[1]
+    # jacobian entries as [q, E] vectors: J[i][j] = sum_m X[e,m,i] gd[q,m,j]
+    Jq = _einsum("emi,qmj->ijqe", X_geo, gdphi)  # [d, d, q, E]
+    from .local_em import _inv_det, _pointwise_map
+
+    Jl = [[Jq[i, j] for j in range(d)] for i in range(d)]
+    Jinv, det = _inv_det(Jl, d)  # lists of [q, E]
+    w = jnp.asarray(tab.weights, dtype=dtype)
+    wdet = w[:, None] * jnp.abs(det)  # [q, E]
+    dphi = np.asarray(tab.dphi)  # [q, n, d] host constants
+    if u_el is None:
+        G_qe = jnp.zeros((d, s, q, E), dtype=dtype)
+    else:
+        u_em = jnp.transpose(u_el, (1, 2, 0))  # [n, s, E]
+        dphi_dev = jnp.asarray(dphi, dtype=dtype)
+        # gp[nn][k] = sum_a dphi[q, nn, a] * Jinv[a][k]   ([q, E])
+        gp = [
+            [
+                sum(dphi_dev[:, nn, a][:, None] * Jinv[a][k] for a in range(d))
+                for k in range(d)
+            ]
+            for nn in range(n)
+        ]
+        G_qe = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        sum(gp[nn][k] * u_em[nn, ss] for nn in range(n))
+                        for ss in range(s)
+                    ],
+                    0,
+                )
+                for k in range(d)
+            ],
+            0,
+        )  # [d, s, q, E]
+    params_qe = _params_to_qe(params, E, q)
+    D = _pointwise_map(
+        lambda Gp, p: op.contraction(Gp, p), params_qe, 2, (q, E)
+    )(G_qe, params_qe)  # [d, s, d, s, q, E]
+    # tmp[k,i,b,j] = sum_m D[k,i,m,j] * Jinv[b,m];  Ft[a,i,b,j] = wdet *
+    # sum_k Jinv[a,k] * tmp[k,i,b,j] — full-lane [q, E] FMAs
+    tmp = [
+        [
+            [
+                [
+                    sum(D[k, i, m, j] * Jinv[b][m] for m in range(d))
+                    for j in range(s)
+                ]
+                for b in range(d)
+            ]
+            for i in range(s)
+        ]
+        for k in range(d)
+    ]
+    ft = [
+        [
+            [
+                [
+                    wdet * sum(Jinv[a][k] * tmp[k][i][b][j] for k in range(d))
+                    for j in range(s)
+                ]
+                for b in range(d)
+            ]
+            for i in range(s)
+        ]
+        for a in range(d)
+    ]
+    # constant projector W[(a,b,q),(n,p)] in the K-major order the stacks
+    # below produce (host f64, cast once)
+    Wc = jnp.asarray(
+        np.einsum("qna,qpb->abqnp", dphi, dphi).reshape(d * d * q, n * n),
+        dtype=dtype,
+    )
+    # per (i, j): lhs [(a,b,q), E] consumed as-produced; M = E on the MXU
+    pieces = [[None] * s for _ in range(s)]
+    for i in range(s):
+        for j in range(s):
+            lhs = jnp.stack(
+                [ft[a][i][b][j] for a in range(d) for b in range(d)], 0
+            ).reshape(d * d * q, E)
+            pieces[i][j] = _einsum("ke,kn->en", lhs, Wc).reshape(E, n, n)
+    if op.symmetric:
+        sym = [[None] * s for _ in range(s)]
+        for i in range(s):
+            for j in range(s):
+                sym[i][j] = 0.5 * (
+                    pieces[i][j] + jnp.transpose(pieces[j][i], (0, 2, 1))
+                )
+        pieces = sym
+    A2 = jnp.stack([jnp.stack(row, 0) for row in pieces], 0)  # [s, s, E, n, n]
+    return jnp.transpose(A2, (2, 3, 0, 4, 1)).reshape(E, n * s, n * s)
+
+
+def _chunked_elliptic_matrices(
+    X_geo, u_el, op, params, tab: Tabulation, chunk: int, layout: str = "auto"
+):
     """Bounded-memory element-matrix assembly: ``lax.map`` over chunks.
 
     Per-element parameter leaves (leading dim == E, the :func:`_vmap2`
@@ -362,7 +530,7 @@ def _chunked_elliptic_matrices(X_geo, u_el, op, params, tab: Tabulation, chunk: 
         it = iter(pl)
         merged = [next(it) if m_ else x for x, m_ in zip(leaves, mapped)]
         pb = jax.tree_util.tree_unflatten(treedef, merged)
-        return assemble_element_elliptic_matrices(Xb, ub, op, pb, tab)
+        return assemble_element_elliptic_matrices(Xb, ub, op, pb, tab, layout=layout)
 
     mapped_args = (split(X_geo),) + (
         () if u_el is None else (split(u_el),)

@@ -294,3 +294,52 @@ def test_surface_traction_load():
     # load only on top-face nodes
     loaded = np.flatnonzero(np.abs(np.asarray(b)) > 1e-14) // 3
     assert (np.abs(mesh.points[np.unique(loaded), 2] - 1.0) < 1e-12).all()
+
+
+@pytest.mark.parametrize("upresent", [False, True])
+def test_mxu_layout_matches_einsum(upresent, rng):
+    """The MXU-reassociated matrix assembly == the direct einsum path.
+
+    Covers scalar, per-element, and per-(element, point) parameter leaves
+    and both vector-valued (Neo-Hookean) and scalar (Laplace) operators.
+    """
+    from fenris_tpu.fem import FemSpace
+    from fenris_tpu.mesh.convert import convert_mesh
+    from fenris_tpu.quadrature.canonical import canonical_stiffness
+    from fenris_tpu.solid import (
+        LameParameters,
+        MaterialEllipticOperator,
+        NeoHookeanMaterial,
+    )
+
+    mesh = convert_mesh(procedural.create_unit_box_uniform_hex_mesh_3d(2), "hex20")
+    space = FemSpace.create(mesh)
+    tab = L.tabulate(mesh.element, canonical_stiffness(mesh.element))
+    E, n = mesh.num_cells, mesh.element.num_nodes
+    mop = MaterialEllipticOperator(NeoHookeanMaterial(), dim=3)
+    u = jnp.asarray(rng.standard_normal((E, n, 3)) * 0.01) if upresent else None
+    for params in [
+        LameParameters(mu=384.0, lam=577.0),
+        LameParameters(
+            mu=jnp.asarray(rng.uniform(300, 400, E)),
+            lam=jnp.asarray(rng.uniform(500, 600, E)),
+        ),
+        LameParameters(
+            mu=jnp.asarray(rng.uniform(300, 400, (E, tab.num_points))), lam=577.0
+        ),
+    ]:
+        A1 = L.assemble_element_elliptic_matrices(
+            space.X_geo, u, mop, params, tab, layout="einsum"
+        )
+        A2 = L.assemble_element_elliptic_matrices(
+            space.X_geo, u, mop, params, tab, layout="mxu"
+        )
+        np.testing.assert_allclose(np.asarray(A1), np.asarray(A2), rtol=5e-13, atol=1e-13)
+
+    # scalar operator (s=1, d=2)
+    qmesh = procedural.create_unit_square_uniform_quad_mesh_2d(3)
+    qtab = L.tabulate(qmesh.element, quad.quadrilateral_gauss(2))
+    X = jnp.asarray(qmesh.cell_points())
+    A1 = L.assemble_element_elliptic_matrices(X, None, LaplaceOperator(), None, qtab, layout="einsum")
+    A2 = L.assemble_element_elliptic_matrices(X, None, LaplaceOperator(), None, qtab, layout="mxu")
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(A2), rtol=1e-13, atol=1e-15)

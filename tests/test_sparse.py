@@ -279,3 +279,77 @@ def test_host_loop_validate_operator_catches_bad_program(rng):
     assert int(res2.status) == CG_CONVERGED  # eager fallback still solves
     x_ref = np.linalg.solve(np.asarray(A, np.float64), np.asarray(b, np.float64))
     assert np.linalg.norm(np.asarray(res2.x) - x_ref) < 1e-3 * np.linalg.norm(x_ref)
+
+
+def test_block_dia_matches_csr_spmv(rng):
+    """Block-DIA matvec == CSR SpMV on an assembled elasticity Hessian.
+
+    The uniform hex mesh (node-major ordering) has exactly 27 node-offset
+    diagonals, so the remainder must be empty.
+    """
+    import jax.numpy as jnp
+
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+    from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+    from fenris_tpu.sparse import from_pattern, spmv
+    from fenris_tpu.sparse.block_dia import block_dia_from_csr
+
+    mesh = create_unit_box_uniform_hex_mesh_3d(4)
+    model = HyperelasticModel(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.0, lam=577.0),
+        dirichlet_nodes=np.arange(25),
+    )
+    u = jnp.asarray(rng.standard_normal(model.space.num_dofs) * 0.01)
+    values = model.assemble_hessian_csr(u)
+    csr = from_pattern(model.space.pattern, values)
+    dia = block_dia_from_csr(model.space.pattern, values)
+    assert dia.num_diagonals == 27
+    assert dia.remainder is None
+    v = jnp.asarray(rng.standard_normal(model.space.num_dofs))
+    np.testing.assert_allclose(
+        np.asarray(dia @ v), np.asarray(spmv(csr, v)), rtol=1e-12, atol=1e-12
+    )
+
+
+def test_block_dia_remainder_spill(rng):
+    """Capped diagonals spill to the ELL remainder; result stays exact.
+
+    A random node permutation destroys the diagonal structure, so with
+    max_diagonals small most entries must go through the remainder path.
+    """
+    import jax.numpy as jnp
+
+    from fenris_tpu import quadrature as quad
+    from fenris_tpu.assembly import global_ as G
+    from fenris_tpu.assembly import local as L
+    from fenris_tpu.mesh import Mesh
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+    from fenris_tpu.operators import LaplaceOperator
+    from fenris_tpu.sparse import from_pattern, spmv
+    from fenris_tpu.sparse.block_dia import block_dia_from_csr
+
+    base = create_unit_box_uniform_hex_mesh_3d(3)
+    perm = rng.permutation(base.num_vertices)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(base.num_vertices)
+    mesh = Mesh(
+        points=np.asarray(base.points)[perm],
+        cells=inv[np.asarray(base.cells)],
+        element=base.element,
+    )
+    tab = L.tabulate(mesh.element, quad.hexahedron_gauss(2))
+    X = jnp.asarray(mesh.cell_points())
+    A_el = L.assemble_element_elliptic_matrices(X, None, LaplaceOperator(), None, tab)
+    pattern = G.csr_pattern(np.asarray(mesh.cells), mesh.num_vertices, 1)
+    values = G.assemble_csr(A_el, pattern)
+    csr = from_pattern(pattern, values)
+    dia = block_dia_from_csr(pattern, values, max_diagonals=5)
+    assert dia.num_diagonals == 5
+    assert dia.remainder is not None
+    v = jnp.asarray(rng.standard_normal(mesh.num_vertices))
+    np.testing.assert_allclose(
+        np.asarray(dia @ v), np.asarray(spmv(csr, v)), rtol=1e-12, atol=1e-12
+    )
