@@ -143,11 +143,11 @@ def bench_element_stiffness_roofline():
 
 
 def bench_spmv(res: int = 69):
-    """Assembled-operator SpMV GB/s: CSR gather path vs block-ELL
-    (BASELINE.md:46; reference loop fenris-sparse/src/cg.rs:373-450).
+    """Assembled-operator SpMV GB/s: block-DIA (zero-gather) vs block-ELL
+    vs scalar CSR (BASELINE.md:46; reference loop fenris-sparse/src/cg.rs:373-450).
 
     Effective bandwidth counts the true operator traffic (values + column
-    metadata + x read + y write) regardless of layout, so the two numbers
+    metadata + x read + y write) regardless of layout, so the numbers
     are directly comparable.
     """
     import jax
@@ -157,6 +157,7 @@ def bench_spmv(res: int = 69):
     from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
     from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
     from fenris_tpu.sparse import CsrMatrix, from_pattern, spmv
+    from fenris_tpu.sparse.block_dia import BlockDiaMatrix, block_dia_from_csr
     from fenris_tpu.sparse.block_ell import BlockEllMatrix, block_ell_from_csr
 
     mesh = create_unit_box_uniform_hex_mesh_3d(res)
@@ -176,6 +177,7 @@ def bench_spmv(res: int = 69):
     pattern = model.space.pattern
     csr = from_pattern(pattern, values)
     ell = block_ell_from_csr(pattern, values)
+    dia = block_dia_from_csr(pattern, values)
     nnz = pattern.nnz
     ndofs = pattern.num_rows
     bytes_eff = 8.0 * nnz + 8.0 * ndofs  # values+colidx (4+4) + x read + y write
@@ -192,11 +194,23 @@ def bench_spmv(res: int = 69):
         m = BlockEllMatrix(neighbors, blocks, ell.num_nodes, ell.solution_dim)
         return v + 1e-12 * (m @ v)
 
-    # ELL first: the scalar-CSR program (one irregular index per nnz) has
-    # faulted the TPU worker at this size, which kills every subsequent
-    # device call in the process — measure the headline layout before
-    # risking it, and report partial results on a crash.
+    def dia_step(v, bands):
+        m = BlockDiaMatrix(dia.offsets, bands, dia.num_nodes, dia.solution_dim, None)
+        return v + 1e-12 * (m @ v)
+
+    # DIA first (headline), CSR last: the scalar-CSR program (one irregular
+    # index per nnz) has faulted the TPU worker at this size, which kills
+    # every subsequent device call in the process — measure the fast
+    # layouts before risking it, and report partial results on a crash.
     out = {"dofs": ndofs, "nnz": nnz}
+    assert dia.remainder is None  # hex mesh node-major: all 27 offsets kept
+    dt_dia = device_loop_time(dia_step, v0, 20, operands=(dia.bands,))
+    out.update(
+        block_dia_ms=round(dt_dia * 1e3, 3),
+        block_dia_gbps=round(bytes_eff / dt_dia / 1e9, 2),
+        block_dia_diagonals=dia.num_diagonals,
+        hbm_fraction_dia=round(bytes_eff / dt_dia / 1e9 / V5E_HBM_GBPS, 3),
+    )
     dt_ell = device_loop_time(ell_step, v0, 10, operands=(ell.neighbors, ell.blocks))
     out.update(
         block_ell_ms=round(dt_ell * 1e3, 3),
