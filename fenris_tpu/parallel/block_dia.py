@@ -1,0 +1,213 @@
+"""Sharded block-DIA SpMV: the multi-chip assembled-operator path.
+
+The single-device :class:`~fenris_tpu.sparse.block_dia.BlockDiaMatrix`
+stores the assembled stiffness as node-minor block diagonals — a pure
+streaming layout whose matvec is ``D*s*s`` full-lane FMAs over statically
+shifted slices of ``x``.  Shifted slices make the layout *natively
+shardable*: split the node axis into contiguous chunks across the
+``"dp"`` mesh axis and every band row splits with it; an offset-``o``
+band on device ``d`` only ever reads ``x`` rows
+``[chunk_start - h_l, chunk_end + h_r)`` where ``h_l/h_r`` are the
+largest negative/positive offsets.  For bandwidth-reduced orderings
+(structured node-major, unstructured RCM — the layout's precondition)
+``h_l, h_r ≪ chunk``, so the matvec is:
+
+* two neighbor ``ppermute`` halo exchanges (open chain; missing links
+  deliver zeros = the matrix boundary), each of ``h * s`` rows;
+* an entirely local ``[D*s*s, chunk]`` streaming sweep.
+
+CG on top needs no further collectives beyond the scalar all-reduces XLA
+inserts for the sharded dot products, so an assembled Newton-Krylov step
+runs with per-device memory and HBM traffic ``O(total / n_devices)``.
+This extends the reference's assembled CSR + CG design
+(fenris-sparse/src/cg.rs:373-450) — explicitly single-process there
+(README.md:60) — across a TPU pod slice.
+
+Agreement with the single-device matvec/CG is asserted to roundoff in
+tests/test_parallel_block_dia.py; the driver dryrun exercises the path on
+8 virtual devices.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..sparse.block_dia import BlockDiaMatrix
+from ..sparse.cg import CgResult, conjugate_gradient
+
+__all__ = ["ShardedBlockDia"]
+
+
+@dataclass
+class ShardedBlockDia:
+    """Node-chunk-sharded view of a :class:`BlockDiaMatrix`.
+
+    ``matvec``/``__matmul__`` operate on **sharded padded node-block
+    vectors** of shape ``[N_pad, s]`` (node axis split over ``"dp"``);
+    use :meth:`to_sharded` / :meth:`to_flat` to convert from/to the flat
+    node-major dof vectors of the single-device layout.
+    """
+
+    matrix: BlockDiaMatrix
+    mesh: DeviceMesh
+
+    def __post_init__(self):
+        m = self.matrix
+        if m.remainder is not None:
+            raise ValueError(
+                "sharded block-DIA requires an exact-DIA matrix (no block-ELL "
+                "remainder); rebuild the plan with min_fill=0/max_diagonals=None"
+            )
+        self.n_dev = int(self.mesh.devices.size)
+        N, s = m.num_nodes, m.solution_dim
+        self.chunk = -(-N // self.n_dev)
+        self.N_pad = self.chunk * self.n_dev
+        offs = m.offsets
+        self.h_l = max(0, -min(offs)) if offs else 0
+        self.h_r = max(0, max(offs)) if offs else 0
+        if max(self.h_l, self.h_r) > self.chunk:
+            raise ValueError(
+                f"halo ({self.h_l}/{self.h_r} nodes) exceeds the per-device "
+                f"chunk ({self.chunk}); use fewer devices or reorder the mesh "
+                "to reduce bandwidth (RCM)"
+            )
+        self.vec_sharding = NamedSharding(self.mesh, P("dp", None))
+        # bands [D*s*s, N] split along the lane/node axis
+        pad = self.N_pad - N
+        self.bands = jax.device_put(
+            jnp.pad(m.bands, ((0, 0), (0, pad))),
+            NamedSharding(self.mesh, P(None, "dp")),
+        )
+        self._perm_right = [(d, d + 1) for d in range(self.n_dev - 1)]
+        self._perm_left = [(d + 1, d) for d in range(self.n_dev - 1)]
+
+    # -- layout ------------------------------------------------------------
+
+    def to_sharded(self, v_flat) -> jnp.ndarray:
+        """Flat node-major dof vector [N*s] -> sharded [N_pad, s]."""
+        m = self.matrix
+        vb = jnp.asarray(v_flat).reshape(m.num_nodes, m.solution_dim)
+        vb = jnp.pad(vb, ((0, self.N_pad - m.num_nodes), (0, 0)))
+        return jax.device_put(vb, self.vec_sharding)
+
+    def to_flat(self, vb) -> jnp.ndarray:
+        """Sharded [N_pad, s] -> flat node-major dof vector (gathered)."""
+        m = self.matrix
+        return vb[: m.num_nodes].reshape(-1)
+
+    def zeros(self) -> jnp.ndarray:
+        return jax.device_put(
+            jnp.zeros((self.N_pad, self.matrix.solution_dim), self.matrix.bands.dtype),
+            self.vec_sharding,
+        )
+
+    # -- sharded matvec ------------------------------------------------------
+
+    def matvec(self, vb) -> jnp.ndarray:
+        """y = A x on sharded node blocks: 2 halo ppermutes + local FMAs."""
+        m = self.matrix
+        s, c = m.solution_dim, self.chunk
+        h_l, h_r = self.h_l, self.h_r
+        offsets = m.offsets
+        D = len(offsets)
+
+        def device_fn(bands_local, xb):
+            # left halo = previous device's last h_l node rows; right halo =
+            # next device's first h_r rows.  Open chain: the edge devices
+            # receive zeros, which is exactly the zero padding of the
+            # single-device matvec beyond the matrix bounds.
+            parts = []
+            if h_l:
+                parts.append(
+                    jax.lax.ppermute(
+                        xb[c - h_l :], axis_name="dp", perm=self._perm_right
+                    )
+                )
+            parts.append(xb)
+            if h_r:
+                parts.append(
+                    jax.lax.ppermute(xb[:h_r], axis_name="dp", perm=self._perm_left)
+                )
+            window = jnp.concatenate(parts, axis=0) if len(parts) > 1 else xb
+            xcols = [window[:, j] for j in range(s)]
+            y = [jnp.zeros(c, xb.dtype) for _ in range(s)]
+            for d in range(D):
+                o = offsets[d]
+                for j in range(s):
+                    xs = jax.lax.slice_in_dim(xcols[j], h_l + o, h_l + o + c)
+                    for i in range(s):
+                        y[i] = y[i] + bands_local[(d * s + i) * s + j] * xs
+            return jnp.stack(y, axis=1)
+
+        return jax.shard_map(
+            device_fn,
+            mesh=self.mesh,
+            in_specs=(P(None, "dp"), P("dp", None)),
+            out_specs=P("dp", None),
+        )(self.bands, vb)
+
+    def __matmul__(self, vb):
+        return self.matvec(vb)
+
+    # -- solve ---------------------------------------------------------------
+
+    def jacobi_inverse_diagonal(self, free_blocks=None) -> jnp.ndarray:
+        """Sharded [N_pad, s] inverse Jacobi diagonal off the zero band."""
+        m = self.matrix
+        s = m.solution_dim
+        d0 = m.offsets.index(0)
+        diag = jnp.stack(
+            [self.bands[(d0 * s + i) * s + i] for i in range(s)], axis=1
+        )
+        if free_blocks is not None:
+            ok = free_blocks & (diag != 0.0)
+        else:
+            ok = diag != 0.0
+        inv = 1.0 / jnp.where(ok, diag, 1.0)
+        return jax.device_put(inv, self.vec_sharding)
+
+    def cg(
+        self,
+        b,
+        free_blocks=None,
+        x0=None,
+        rel_tolerance: float = 1e-6,
+        max_iter: int = 1000,
+        preconditioner=None,
+    ) -> CgResult:
+        """Jacobi-PCG on the sharded operator (all state stays sharded).
+
+        ``b``/``free_blocks``/``x0`` are sharded ``[N_pad, s]`` blocks
+        (``free_blocks`` boolean; constrained dofs pass through
+        identically, matching the single-device Dirichlet semantics).
+        """
+        if free_blocks is None:
+            free_blocks = jax.device_put(
+                jnp.ones((self.N_pad, self.matrix.solution_dim), bool),
+                self.vec_sharding,
+            )
+        if preconditioner is None:
+            inv_diag = self.jacobi_inverse_diagonal(free_blocks)
+            preconditioner = lambda vb: inv_diag * vb
+
+        def op(vb):
+            vm = jnp.where(free_blocks, vb, 0.0)
+            return jnp.where(free_blocks, self.matvec(vm), vb)
+
+        bm = jnp.where(free_blocks, b, 0.0)
+        return conjugate_gradient(
+            op,
+            bm,
+            x0=x0,
+            preconditioner=preconditioner,
+            rel_tolerance=rel_tolerance,
+            max_iter=max_iter,
+            check_definiteness=False,
+        )

@@ -141,3 +141,51 @@ def test_solve_mixed_unstructured_reaches_f64_accuracy():
     # f64 models must refuse the mixed path (inner CG is the f32 path)
     with pytest.raises(ValueError):
         HyperelasticModel(dtype=jnp.float64, **kw).solve_mixed()
+
+
+def test_assembled_hessian_operator_matches_matrix_free(rng):
+    """Block-DIA assembled hvp + Jacobi diag == matrix-free counterparts."""
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+
+    mesh = create_unit_box_uniform_hex_mesh_3d(4)
+    model = HyperelasticModel(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.0, lam=577.0),
+        dirichlet_nodes=np.arange(25),
+    )
+    u = jnp.asarray(rng.standard_normal(model.space.num_dofs) * 0.01)
+    v = jnp.asarray(rng.standard_normal(model.space.num_dofs))
+    hvp, inv_diag = model.assembled_hessian_operator(u)
+    np.testing.assert_allclose(
+        np.asarray(hvp(v)),
+        np.asarray(model.hessian_vector_product(u, v)),
+        rtol=1e-11,
+        atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        np.asarray(1.0 / inv_diag),
+        np.asarray(model.hessian_diagonal(u)),
+        rtol=1e-12,
+    )
+
+
+def test_solve_assembled_agrees_with_matrix_free():
+    """solve(assembled=True) converges to the same solution."""
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+
+    mesh = create_unit_box_uniform_hex_mesh_3d(4)
+    fixed = np.nonzero(np.asarray(mesh.points)[:, 2] < 1e-12)[0]
+    model = HyperelasticModel(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.0, lam=577.0),
+        dirichlet_nodes=fixed,
+        body_force=lambda x, p: jnp.array([0.0, 0.0, -2.0]),
+    )
+    r_mf = model.solve(tolerance=1e-9)
+    r_as = model.solve(tolerance=1e-9, assembled=True)
+    assert float(r_as.residual_norm) <= 1e-9
+    np.testing.assert_allclose(
+        np.asarray(r_as.x), np.asarray(r_mf.x), rtol=0, atol=1e-8
+    )

@@ -1,0 +1,86 @@
+"""Sharded block-DIA SpMV / CG vs single-device agreement (8 virtual devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenris_tpu.elasticity import HyperelasticModel
+from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+from fenris_tpu.parallel import make_device_mesh
+from fenris_tpu.parallel.block_dia import ShardedBlockDia
+from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+from fenris_tpu.sparse.cg import CG_CONVERGED
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple (virtual) devices"
+)
+
+
+def _model(res=10):
+    # res=10 -> 11^3 nodes: the per-device chunk (167) must cover the
+    # lexicographic-ordering halo of one node plane (133)
+    mesh = create_unit_box_uniform_hex_mesh_3d(res)
+    fixed = np.nonzero(np.asarray(mesh.points)[:, 2] < 1e-12)[0]
+    return HyperelasticModel(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.0, lam=577.0),
+        dirichlet_nodes=fixed,
+        body_force=lambda x, p: jnp.array([0.0, 0.0, -2.0]),
+    )
+
+
+def test_sharded_matvec_matches_single_device(rng):
+    model = _model()
+    u = jnp.asarray(rng.standard_normal(model.space.num_dofs) * 0.01)
+    m = model.assemble_hessian_block_dia(u)
+    sh = ShardedBlockDia(m, make_device_mesh())
+    v = rng.standard_normal(model.space.num_dofs)
+    y_ref = np.asarray(m @ jnp.asarray(v))
+    y_sh = np.asarray(sh.to_flat(sh @ sh.to_sharded(v)))
+    np.testing.assert_allclose(y_sh, y_ref, rtol=1e-13, atol=1e-13)
+
+
+def test_sharded_cg_matches_single_device_solve(rng):
+    model = _model()
+    u = jnp.asarray(rng.standard_normal(model.space.num_dofs) * 0.01)
+    m = model.assemble_hessian_block_dia(u)
+    hvp, inv_diag = model.assembled_hessian_operator(u)
+    b = jnp.asarray(rng.standard_normal(model.space.num_dofs))
+    from fenris_tpu.sparse.cg import conjugate_gradient
+
+    ref = conjugate_gradient(
+        hvp,
+        jnp.where(model.free_mask, b, 0.0),
+        preconditioner=lambda v: inv_diag * v,
+        rel_tolerance=1e-10,
+        max_iter=2000,
+        check_definiteness=False,
+    )
+    sh = ShardedBlockDia(m, make_device_mesh())
+    free_blocks = sh.to_sharded(model.free_mask).astype(bool)
+    res = sh.cg(
+        sh.to_sharded(jnp.where(model.free_mask, b, 0.0)),
+        free_blocks=free_blocks,
+        rel_tolerance=1e-10,
+        max_iter=2000,
+    )
+    assert int(res.status) == CG_CONVERGED
+    np.testing.assert_allclose(
+        np.asarray(sh.to_flat(res.x)), np.asarray(ref.x), rtol=0, atol=1e-8
+    )
+
+
+def test_sharded_rejects_remainder_and_oversized_halo(rng):
+    model = _model(3)
+    u = jnp.zeros(model.space.num_dofs)
+    m_rem = model.assemble_hessian_block_dia(u, max_diagonals=7)
+    assert m_rem.remainder is not None
+    with pytest.raises(ValueError, match="remainder"):
+        ShardedBlockDia(m_rem, make_device_mesh())
+    # 4^3 nodes / 8 devices = 8-node chunks < the ~21-node halo
+    m = model.assemble_hessian_block_dia(u)
+    if len(jax.devices()) >= 8:
+        with pytest.raises(ValueError, match="halo"):
+            ShardedBlockDia(m, make_device_mesh())

@@ -353,3 +353,106 @@ def test_block_dia_remainder_spill(rng):
     np.testing.assert_allclose(
         np.asarray(dia @ v), np.asarray(spmv(csr, v)), rtol=1e-12, atol=1e-12
     )
+
+
+def test_block_dia_direct_assembly_matches_csr_route(rng):
+    """assemble_block_dia(plan, A_el) == block_dia_from_csr(assemble_csr).
+
+    The direct element→band segment-sum (no symbolic CSR phase) must land
+    every entry on the same slot as the CSR route; values agree exactly up
+    to summation order.
+    """
+    import jax.numpy as jnp
+
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+    from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+    from fenris_tpu.sparse.block_dia import (
+        assemble_block_dia,
+        block_dia_assembly_plan,
+        block_dia_from_csr,
+    )
+
+    mesh = create_unit_box_uniform_hex_mesh_3d(4)
+    model = HyperelasticModel(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.0, lam=577.0),
+    )
+    u = jnp.asarray(rng.standard_normal(model.space.num_dofs) * 0.01)
+    A_el = model.assemble_hessian_matrices(u)
+    ref = block_dia_from_csr(
+        model.space.pattern, G.assemble_csr(A_el, model.space.pattern)
+    )
+    plan = block_dia_assembly_plan(np.asarray(mesh.cells), mesh.num_vertices, 3)
+    assert plan.rem_k == 0 and plan.offsets == ref.offsets
+    m = assemble_block_dia(plan, A_el)
+    np.testing.assert_allclose(
+        np.asarray(m.bands), np.asarray(ref.bands), rtol=1e-13, atol=1e-13
+    )
+    # chunked scatter agrees with the single-pass scatter
+    m4 = assemble_block_dia(plan, A_el, num_chunks=4)
+    np.testing.assert_allclose(
+        np.asarray(m4.bands), np.asarray(ref.bands), rtol=1e-13, atol=1e-13
+    )
+
+
+def test_block_dia_direct_assembly_remainder(rng):
+    """Direct assembly with capped diagonals: ELL spill stays exact.
+
+    Oracle: dense scatter of the element matrices on a node-permuted mesh.
+    """
+    import jax.numpy as jnp
+
+    from fenris_tpu import quadrature as quad
+    from fenris_tpu.assembly import local as L
+    from fenris_tpu.mesh import Mesh
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+    from fenris_tpu.operators import LaplaceOperator
+    from fenris_tpu.sparse.block_dia import (
+        assemble_block_dia,
+        block_dia_assembly_plan,
+    )
+
+    base = create_unit_box_uniform_hex_mesh_3d(3)
+    perm = rng.permutation(base.num_vertices)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(base.num_vertices)
+    mesh = Mesh(
+        points=np.asarray(base.points)[perm],
+        cells=inv[np.asarray(base.cells)],
+        element=base.element,
+    )
+    tab = L.tabulate(mesh.element, quad.hexahedron_gauss(2))
+    X = jnp.asarray(mesh.cell_points())
+    A_el = L.assemble_element_elliptic_matrices(X, None, LaplaceOperator(), None, tab)
+    N = mesh.num_vertices
+    plan = block_dia_assembly_plan(np.asarray(mesh.cells), N, 1, max_diagonals=7)
+    assert plan.num_diagonals == 7 and plan.rem_k > 0
+    assert 0 in plan.offsets  # Jacobi diagonal always on a band
+    m = assemble_block_dia(plan, A_el)
+    dense = np.zeros((N, N))
+    cells = np.asarray(mesh.cells)
+    for e in range(cells.shape[0]):
+        dense[np.ix_(cells[e], cells[e])] += np.asarray(A_el[e])
+    v = rng.standard_normal(N)
+    np.testing.assert_allclose(
+        np.asarray(m @ jnp.asarray(v)), dense @ v, rtol=1e-12, atol=1e-12
+    )
+
+
+def test_block_dia_min_fill_spills_sparse_diagonals(rng):
+    """min_fill moves sparsely-populated deltas to the remainder."""
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+    from fenris_tpu.sparse.block_dia import block_dia_assembly_plan
+
+    mesh = create_unit_box_uniform_hex_mesh_3d(3)
+    exact = block_dia_assembly_plan(np.asarray(mesh.cells), mesh.num_vertices, 1)
+    assert exact.rem_k == 0
+    # demanding near-full bands forces boundary-truncated deltas out
+    filtered = block_dia_assembly_plan(
+        np.asarray(mesh.cells), mesh.num_vertices, 1, min_fill=0.99
+    )
+    assert filtered.num_diagonals < exact.num_diagonals
+    assert 0 in filtered.offsets
+    assert filtered.rem_k > 0
