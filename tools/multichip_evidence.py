@@ -1,12 +1,13 @@
 #!/usr/bin/env python
 """Multi-chip scaling evidence: agreement + collective counts per path.
 
-Runs the three sharded execution paths (z-slab psum, halo ppermute,
-sharded banded — fenris_tpu/parallel/) on 1/2/4/8 virtual CPU devices,
+Runs the four sharded execution paths (z-slab psum, halo ppermute,
+sharded banded, sharded block-DIA — fenris_tpu/parallel/) on 1/2/4/8
+virtual CPU devices,
 records (a) max-abs agreement of residual and Hessian-action against the
 serial model and (b) the number of XLA collectives in each compiled step
 (from the compiled HLO), quantifying the "one collective per sweep"
-communication design.  Writes artifacts/multichip_r2.json.
+communication design.  Writes artifacts/multichip_r3.json.
 
 Usage:  python tools/multichip_evidence.py
 """
@@ -90,6 +91,22 @@ def main() -> None:
     ur_ref = np.asarray(umodel.residual(uu))
     uh_ref = np.asarray(umodel.hessian_vector_product(uu, uv))
 
+    # assembled block-DIA serial reference (res 10: 11^3 nodes keeps the
+    # per-device chunk >= the one-node-plane halo at 8 devices)
+    from fenris_tpu.parallel.block_dia import ShardedBlockDia
+
+    dmesh_m = create_unit_box_uniform_hex_mesh_3d(10)
+    dmodel = HyperelasticModel(
+        mesh=dmesh_m,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.614, lam=576.923),
+        dirichlet_nodes=np.arange(121),
+    )
+    du = jnp.asarray(rng.uniform(-0.01, 0.01, dmodel.space.num_dofs))
+    dv = jnp.asarray(rng.standard_normal(dmodel.space.num_dofs))
+    dmat = dmodel.assemble_hessian_block_dia(du)
+    dy_ref = np.asarray(dmat @ dv)
+
     for n in (1, 2, 4, 8):
         mesh = make_device_mesh(n)
         row = {}
@@ -135,10 +152,21 @@ def main() -> None:
             ),
             "collectives_hvp": count_collectives(hb.lower(uu, uv).compile().as_text()),
         }
+        sd = ShardedBlockDia(dmat, mesh)
+        fd = jax.jit(sd.matvec)
+        dvb = sd.to_sharded(dv)
+        row["sharded_block_dia"] = {
+            "matvec_max_abs_diff": float(
+                np.abs(np.asarray(sd.to_flat(fd(dvb))) - dy_ref).max()
+            ),
+            "collectives_matvec": count_collectives(
+                fd.lower(dvb).compile().as_text()
+            ),
+        }
         out["paths"][str(n)] = row
         print(json.dumps({n: row}), flush=True)
 
-    path = Path(__file__).resolve().parent.parent / "artifacts" / "multichip_r2.json"
+    path = Path(__file__).resolve().parent.parent / "artifacts" / "multichip_r3.json"
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_text(json.dumps(out, indent=1))
     print("wrote", path, flush=True)

@@ -9,7 +9,7 @@ shortcuts).  This tool measures exactly that on a refinement ladder of
 an RCM-reordered hex box (``rcm_refined_hierarchy``), then runs a full
 nonlinear Newton solve at the largest size with the MG preconditioner.
 
-Writes artifacts/unstructured_mg_r2.json.
+Writes artifacts/unstructured_mg_r3.json.
 
 Usage: python tools/solve_unstructured.py [coarse_res] [max_levels]
 """
@@ -74,14 +74,14 @@ def level_case(coarse, levels: int) -> dict:
         t0 = time.perf_counter()
         res = conjugate_gradient(
             hvp, b, preconditioner=prec, rel_tolerance=1e-6, max_iter=4000,
-            check_definiteness=False,
+            check_definiteness=False, host_loop=True,
         )
         # block on a readback, then re-time warm
         _ = float(jnp.asarray(res.x).ravel()[0])
         warm0 = time.perf_counter()
         res = conjugate_gradient(
             hvp, b, preconditioner=prec, rel_tolerance=1e-6, max_iter=4000,
-            check_definiteness=False,
+            check_definiteness=False, host_loop=True,
         )
         _ = float(jnp.asarray(res.x).ravel()[0])
         wall = time.perf_counter() - warm0
@@ -148,7 +148,7 @@ def main() -> None:
     }
     print(json.dumps(result["newton_solve"]), flush=True)
 
-    path = Path(__file__).resolve().parent.parent / "artifacts" / "unstructured_mg_r2.json"
+    path = Path(__file__).resolve().parent.parent / "artifacts" / "unstructured_mg_r3.json"
     path.write_text(json.dumps(result, indent=1))
     print("wrote", path, flush=True)
 
