@@ -142,6 +142,63 @@ def bench_element_stiffness_roofline():
     return out
 
 
+def bench_assembled_newton(res: int = 63):
+    """Assembled-operator Newton economics (block-DIA, sparse/block_dia.py).
+
+    Per-Newton-iterate cost = one direct element->band assembly; per-CG-
+    iteration cost = one streaming band SpMV.  Reported against the
+    matrix-free tangent sweep at the same size, with the break-even CG
+    iteration count (the assembled path wins beyond it).
+    """
+    import jax.numpy as jnp
+
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+    from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+
+    mesh = create_unit_box_uniform_hex_mesh_3d(res)
+    fixed = np.nonzero(np.asarray(mesh.points)[:, 2] < 1e-12)[0]
+    model = HyperelasticModel(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.0, lam=577.0),
+        dirichlet_nodes=fixed,
+        body_force=lambda x, p: jnp.array([0.0, 0.0, -2.0]),
+    )
+    u0 = jnp.zeros(model.space.num_dofs, jnp.float32)
+    plan = model.block_dia_plan()  # host-built, cached
+
+    def assemble_once(u):
+        m = model.assemble_hessian_block_dia(u)
+        return u + 1e-20 * m.bands[0, :3].sum()
+
+    t_asm = device_loop_time(assemble_once, u0, 2)
+    hvp, _ = model.assembled_hessian_operator(u0)
+    v0 = jnp.ones(model.space.num_dofs, jnp.float32)
+
+    def apply_step(v):
+        return hvp(v) * 1e-6 + v * 0.999
+
+    # band SpMV is ~ms-scale: chain enough iterations that the empty
+    # round-trip subtraction in device_loop_time stays in the noise
+    t_apply = device_loop_time(apply_step, v0, 100)
+
+    def mf_step(v):
+        return model.hessian_vector_product(u0, v) * 1e-6 + v * 0.999
+
+    t_mf = device_loop_time(mf_step, v0, 4)
+    return {
+        "elements": mesh.num_cells,
+        "dofs": model.space.num_dofs,
+        "diagonals": plan.num_diagonals,
+        "assembly_ms": round(t_asm * 1e3, 1),
+        "cg_iteration_ms": round(t_apply * 1e3, 3),
+        "matrix_free_iteration_ms": round(t_mf * 1e3, 3),
+        "speedup_per_iteration": round(t_mf / t_apply, 1),
+        "break_even_cg_iterations": int(round(t_asm / max(t_mf - t_apply, 1e-9))),
+    }
+
+
 def bench_spmv(res: int = 69):
     """Assembled-operator SpMV GB/s: block-DIA (zero-gather) vs block-ELL
     vs scalar CSR (BASELINE.md:46; reference loop fenris-sparse/src/cg.rs:373-450).
@@ -333,6 +390,10 @@ def main() -> None:
     # only saves the JSON output, not the device).  Add new benchmarks
     # ABOVE this block.
     try:
+        assembled_detail = bench_assembled_newton()
+    except Exception as e:
+        assembled_detail = {"error": f"{type(e).__name__}: {e}"}
+    try:
         roofline_detail = bench_element_stiffness_roofline()
     except Exception as e:
         roofline_detail = {"error": f"{type(e).__name__}: {e}"}
@@ -357,6 +418,7 @@ def main() -> None:
                     "residual_elements_per_sec": round(E / dt_res, 1),
                     "hvp_intensity": intensity,
                     "unstructured_banded": unstructured,
+                    "assembled_newton": assembled_detail,
                     "spmv": spmv_detail,
                     "element_stiffness_roofline": roofline_detail,
                     "baseline": "unstructured per-element gather/scatter path (reference-design translation), 1.3M el/s on this chip",

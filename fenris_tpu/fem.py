@@ -165,6 +165,95 @@ def solve_poisson(
         u=u, l2_error=l2, h1_seminorm_error=h1, cg_iterations=int(res.num_iterations)
     )
 
+
+def solve_poisson_assembled(
+    mesh: Mesh,
+    rule,
+    error_rule,
+    source: Callable,
+    u_exact: Optional[Callable] = None,
+    u_exact_grad: Optional[Callable] = None,
+    dirichlet_nodes=None,
+    operator: Optional[EllipticOperator] = None,
+    rel_tolerance: float = 1e-9,
+    max_iter: int = 10000,
+    max_diagonals: Optional[int] = None,
+    min_fill: float = 0.0,
+) -> PoissonResult:
+    """Assembled-operator Poisson solve on the block-DIA streaming SpMV.
+
+    The reference's end-to-end path — assemble the stiffness, then CG on
+    it (poisson_mms_common.rs:70 + :142) — re-done TPU-native: element
+    matrices land directly on node-minor block diagonals
+    (:func:`~fenris_tpu.sparse.block_dia.assemble_block_dia`, no symbolic
+    CSR phase), and every CG iteration is a zero-gather band sweep.
+    Dirichlet conditions apply as operator-level dof masking (identity on
+    constrained dofs), which yields the same solution as the reference's
+    symmetric row/column elimination for homogeneous BCs.
+    """
+    from .sparse.block_dia import assemble_block_dia, block_dia_assembly_plan
+
+    op = operator or LaplaceOperator()
+    s = op.solution_dim
+    space = FemSpace.create(mesh, solution_dim=s)
+    tab = L.tabulate(mesh.element, rule)
+    E = mesh.num_cells
+    n = mesh.element.num_nodes
+    u0 = jnp.zeros((E, n, s), dtype=space.X_geo.dtype)
+    A_el = L.assemble_element_elliptic_matrices(space.X_geo, u0, op, None, tab)
+    plan = block_dia_assembly_plan(
+        np.asarray(mesh.cells),
+        mesh.num_vertices,
+        s,
+        max_diagonals=max_diagonals,
+        min_fill=min_fill,
+    )
+    num_chunks = max(1, -(-(E * (n * s) ** 2) // 2**27))
+    A = assemble_block_dia(plan, A_el, num_chunks=num_chunks)
+
+    b_el = L.assemble_element_source_vectors(space.X_geo, source, None, s, tab)
+    b = G.assemble_vector(b_el, space.dofs, space.num_dofs)
+
+    mask = np.ones(space.num_dofs, dtype=bool)
+    if dirichlet_nodes is not None and len(dirichlet_nodes):
+        nd = np.asarray(dirichlet_nodes, dtype=np.int64)
+        for i in range(s):
+            mask[nd * s + i] = False
+    free = jnp.asarray(mask)
+    b = jnp.where(free, b, 0.0)
+
+    d0 = A.offsets.index(0)
+    diag = jnp.stack(
+        [A.bands[(d0 * s + i) * s + i] for i in range(s)], axis=1
+    ).reshape(-1)
+    inv_diag = 1.0 / jnp.where(free & (diag != 0.0), diag, 1.0)
+
+    def apply_A(v):
+        vm = jnp.where(free, v, 0.0)
+        return jnp.where(free, A @ vm, v)
+
+    res = conjugate_gradient(
+        apply_A,
+        b,
+        preconditioner=lambda v: inv_diag * v,
+        rel_tolerance=rel_tolerance,
+        max_iter=max_iter,
+    )
+    u = res.x
+    l2 = h1 = None
+    if u_exact is not None:
+        tab_err = L.tabulate(mesh.element, error_rule)
+        u_el = space.local_dofs(u)
+        l2 = float(estimate_L2_error(space.X_geo, u_el, u_exact, tab_err))
+        if u_exact_grad is not None:
+            h1 = float(
+                estimate_H1_seminorm_error(space.X_geo, u_el, u_exact_grad, tab_err)
+            )
+    return PoissonResult(
+        u=u, l2_error=l2, h1_seminorm_error=h1, cg_iterations=int(res.num_iterations)
+    )
+
+
 def solve_poisson_matrix_free(
     mesh: Mesh,
     rule,

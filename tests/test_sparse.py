@@ -456,3 +456,62 @@ def test_block_dia_min_fill_spills_sparse_diagonals(rng):
     assert filtered.num_diagonals < exact.num_diagonals
     assert 0 in filtered.offsets
     assert filtered.rem_k > 0
+
+
+def test_solve_poisson_assembled_matches_csr_route():
+    """solve_poisson_assembled (block-DIA, no CSR) == solve_poisson (CSR).
+
+    Same system, same Jacobi-CG; the block-DIA route assembles element
+    matrices straight onto bands and masks BCs at the operator level, so
+    the converged solutions and error estimates must agree.
+    """
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    import jax.numpy as jnp
+    from mms_common import (
+        dirichlet_nodes,
+        source_2d,
+        source_3d,
+        u_exact_2d,
+        u_exact_3d,
+        u_exact_grad_2d,
+        u_exact_grad_3d,
+    )
+
+    from fenris_tpu import quadrature as quad
+    from fenris_tpu.fem import solve_poisson, solve_poisson_assembled
+    from fenris_tpu.mesh import procedural
+
+    cases = [
+        (
+            procedural.create_unit_box_uniform_hex_mesh_3d(6),
+            quad.tensor.hexahedron_gauss(2),
+            quad.tensor.hexahedron_gauss(4),
+            source_3d,
+            u_exact_3d,
+            u_exact_grad_3d,
+        ),
+        (
+            procedural.create_unit_square_uniform_quad_mesh_2d(8),
+            quad.tensor.quadrilateral_gauss(2),
+            quad.tensor.quadrilateral_gauss(4),
+            source_2d,
+            u_exact_2d,
+            u_exact_grad_2d,
+        ),
+    ]
+    for mesh, rule, erule, src, ue, ug in cases:
+        dn = dirichlet_nodes(mesh)
+        r0 = solve_poisson(mesh, rule, erule, src, ue, ug, dn)
+        r1 = solve_poisson_assembled(mesh, rule, erule, src, ue, ug, dn)
+        np.testing.assert_allclose(np.asarray(r1.u), np.asarray(r0.u), atol=1e-10)
+        np.testing.assert_allclose(r1.l2_error, r0.l2_error, rtol=1e-10)
+        np.testing.assert_allclose(
+            r1.h1_seminorm_error, r0.h1_seminorm_error, rtol=1e-10
+        )
+        # capped diagonals: the ELL remainder keeps the solve exact
+        r2 = solve_poisson_assembled(
+            mesh, rule, erule, src, ue, ug, dn, max_diagonals=5
+        )
+        np.testing.assert_allclose(np.asarray(r2.u), np.asarray(r0.u), atol=1e-10)

@@ -71,24 +71,20 @@ def level_case(coarse, levels: int) -> dict:
         "setup_seconds": round(setup_s, 1),
     }
     for name, prec in (("jacobi", lambda v: inv_diag * v), ("mg", mg)):
+        # one cold-timed run: the headline is the ITERATION count (MG
+        # flatness vs Jacobi growth); wall includes compile and host-loop
+        # readbacks and is labeled as such
         t0 = time.perf_counter()
         res = conjugate_gradient(
-            hvp, b, preconditioner=prec, rel_tolerance=1e-6, max_iter=4000,
-            check_definiteness=False, host_loop=True,
-        )
-        # block on a readback, then re-time warm
-        _ = float(jnp.asarray(res.x).ravel()[0])
-        warm0 = time.perf_counter()
-        res = conjugate_gradient(
-            hvp, b, preconditioner=prec, rel_tolerance=1e-6, max_iter=4000,
+            hvp, b, preconditioner=prec, rel_tolerance=1e-5, max_iter=4000,
             check_definiteness=False, host_loop=True,
         )
         _ = float(jnp.asarray(res.x).ravel()[0])
-        wall = time.perf_counter() - warm0
+        wall = time.perf_counter() - t0
         out[name] = {
             "iterations": int(res.num_iterations),
             "status": int(res.status),
-            "wall_seconds": round(wall, 2),
+            "wall_seconds_incl_compile": round(wall, 2),
         }
         print(f"[L{levels}] {name}: {out[name]}", flush=True)
     out["model"] = model
@@ -107,17 +103,21 @@ def main() -> None:
 
     from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
 
-    coarse_res = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    coarse_res = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     max_levels = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     coarse = create_unit_box_uniform_hex_mesh_3d(coarse_res)
     result = {"device": str(jax.devices()[0]), "coarse_res": coarse_res, "cases": []}
     cases = []
+    path = Path(__file__).resolve().parent.parent / "artifacts" / "unstructured_mg_r3.json"
+    path.parent.mkdir(parents=True, exist_ok=True)
     for L in range(1, max_levels + 1):
         case = level_case(coarse, L)
         cases.append(case)
         result["cases"].append(
             {k: v for k, v in case.items() if k not in ("model", "mg_prec")}
         )
+        # checkpoint after every level: a timeout still leaves evidence
+        path.write_text(json.dumps(result, indent=1))
 
     # full nonlinear Newton solve at the largest size with MG: the
     # mixed-precision outer loop (f64 outer residual / f32 banded inner
@@ -148,7 +148,6 @@ def main() -> None:
     }
     print(json.dumps(result["newton_solve"]), flush=True)
 
-    path = Path(__file__).resolve().parent.parent / "artifacts" / "unstructured_mg_r3.json"
     path.write_text(json.dumps(result, indent=1))
     print("wrote", path, flush=True)
 
