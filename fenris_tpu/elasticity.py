@@ -117,6 +117,11 @@ class HyperelasticModel:
         self._plan = None
         if self.banded:
             self._setup_banded()
+        if self.chunk_size is not None and self._plan is None:
+            # eager: never first-touched under a trace (tracer-leak hazard,
+            # see _chunked)
+            self._chunked()
+            self._chunked_params()
         self._f_ext = self._assemble_external_forces()
 
     # -- banded fast path ---------------------------------------------------------
@@ -207,27 +212,102 @@ class HyperelasticModel:
         return self.space.local_dofs(u)
 
     def _chunked(self):
-        """Padded, chunk-reshaped (X_geo, dofs, valid) for lax.scan sweeps."""
+        """Padded, chunk-reshaped (X_geo, dofs, valid) for lax.scan sweeps.
+
+        Built from host numpy and cached **only outside traces**: a first
+        call under a jit/jvp trace (exactly what ``mixed_precision_newton``
+        does via ``jax.closure_convert``) would otherwise cache tracers
+        that leak into later eager calls (UnexpectedTracerError, hit at
+        1M elements in tools/solve_assembled.py).  In-trace calls rebuild
+        the arrays as trace constants — closure_convert then hoists them
+        to arguments, avoiding the XLA:TPU constant-gather slow path
+        (CLAUDE.md).  ``__post_init__`` precomputes the cache eagerly.
+        """
         if getattr(self, "_chunk_cache", None) is not None:
             return self._chunk_cache
         c = self.chunk_size
         E = self.mesh.num_cells
         pad = (-E) % c
-        Xg = self.space.X_geo
-        dofs = self.space.dofs
-        valid = jnp.ones(E, dtype=Xg.dtype)
+        Xg = np.asarray(self.space.X_geo)
+        dofs = np.asarray(self.space.dofs)
+        valid = np.ones(E, dtype=Xg.dtype)
         if pad:
-            Xg = jnp.concatenate([Xg, jnp.repeat(Xg[:1], pad, axis=0)], axis=0)
-            dofs = jnp.concatenate([dofs, jnp.repeat(dofs[:1], pad, axis=0)], axis=0)
-            valid = jnp.concatenate([valid, jnp.zeros(pad, dtype=Xg.dtype)])
+            Xg = np.concatenate([Xg, np.repeat(Xg[:1], pad, axis=0)], axis=0)
+            dofs = np.concatenate([dofs, np.repeat(dofs[:1], pad, axis=0)], axis=0)
+            valid = np.concatenate([valid, np.zeros(pad, dtype=Xg.dtype)])
         k = Xg.shape[0] // c
         cache = (
-            Xg.reshape(k, c, *Xg.shape[1:]),
-            dofs.reshape(k, c, dofs.shape[1]),
-            valid.reshape(k, c),
+            jnp.asarray(Xg.reshape(k, c, *Xg.shape[1:])),
+            jnp.asarray(dofs.reshape(k, c, dofs.shape[1])),
+            jnp.asarray(valid.reshape(k, c)),
         )
-        self._chunk_cache = cache
+        if not any(isinstance(x, jax.core.Tracer) for x in cache):
+            self._chunk_cache = cache
         return cache
+
+    def _chunked_params(self):
+        """Chunk-reshaped per-element param leaves for the plain scanned sweeps.
+
+        Mirrors :meth:`_chunked` for ``self.params``: leaves with a leading
+        ``num_cells`` axis are padded (repeating the first element) and
+        reshaped to ``[k, chunk, ...]`` so the chunk scan can slice them;
+        everything else is closed over unchanged.  Classification happens at
+        the full element count *before* padding, so a constant leaf whose
+        length coincides with the chunk size is never misread (the
+        ambiguity flagged for the local.py chunked dispatch cannot occur
+        here).  Returns ``(treedef, leaves, flags, per_el_chunked)``.
+        """
+        cached = getattr(self, "_chunk_param_cache", None)
+        if cached is not None:
+            return cached
+        c = self.chunk_size
+        E = self.mesh.num_cells
+        pad = (-E) % c
+        leaves, treedef = jax.tree_util.tree_flatten(self.params)
+        flags = [
+            hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == E for x in leaves
+        ]
+        per_el = []
+        traced = False
+        for x, f in zip(leaves, flags):
+            if not f:
+                continue
+            if isinstance(x, jax.core.Tracer):
+                traced = True
+                a = x
+                if pad:
+                    a = jnp.concatenate([a, jnp.repeat(a[:1], pad, axis=0)], axis=0)
+            else:
+                a = np.asarray(x)
+                if pad:
+                    a = np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0)
+            per_el.append(jnp.asarray(a.reshape(a.shape[0] // c, c, *a.shape[1:])))
+        out = (treedef, leaves, flags, tuple(per_el))
+        if not traced:
+            self._chunk_param_cache = out
+        return out
+
+    def _chunk_scan(self, extra, body):
+        """Run ``body(Xg, uref..., valid, params) -> per-chunk value`` over
+        element chunks, threading chunked per-element param leaves.
+
+        ``extra``: additional per-chunk arrays shaped ``[k, chunk, ...]``
+        to scan alongside (e.g. gathered dofs).  Returns the stacked scan
+        outputs ``[k, ...]``.
+        """
+        Xc, dofc, validc = self._chunked()
+        treedef, leaves, flags, per_el = self._chunked_params()
+
+        def scan_body(carry, xs):
+            Xg, dofs, valid, *pls = xs
+            it = iter(pls)
+            merged = [next(it) if f else x for x, f in zip(leaves, flags)]
+            p = jax.tree_util.tree_unflatten(treedef, merged)
+            return body(carry, Xg, dofs, valid, p)
+
+        return jax.lax.scan(
+            scan_body, extra, (Xc, dofc, validc, *per_el)
+        )
 
     def _fused_active(self) -> bool:
         """Whether the fused Pallas element kernels replace the XLA sweep."""
@@ -276,14 +356,22 @@ class HyperelasticModel:
                 self.space.X_geo, self._local(u), self.operator, self.params, self.tab
             )
             return G.assemble_vector(f_el, self.space.dofs, self.space.num_dofs)
-        Xc, dofc, validc = self._chunked()
+        from .assembly import local_em as LE
 
-        def body(acc, xs):
-            Xg, dofs, valid = xs
+        # element-minor sweep per chunk: [*, chunk]-minor intermediates stay
+        # lane-tiled; the standard-layout einsum sweep's [E, q, n, ...]
+        # intermediates pad 16-21x under XLA:TPU minor-dim tiling (observed
+        # 34 GB HBM at chunk 260k in f64 — tools/solve_assembled.py)
+        def body(acc, Xg, dofs, valid, p):
             u_el = u[dofs].reshape(-1, n, s)
-            f_el = L.assemble_element_elliptic_vectors(
-                Xg, u_el, self.operator, self.params, self.tab
+            f_em = LE.assemble_element_elliptic_vectors_em(
+                jnp.transpose(Xg, (1, 2, 0)),
+                jnp.transpose(u_el, (1, 2, 0)),
+                self.operator,
+                LE.params_to_element_minor(p, Xg.shape[0]),
+                self.tab,
             )
+            f_el = jnp.transpose(f_em, (2, 0, 1)).reshape(-1, n * s)
             f_el = f_el * valid[:, None]
             return (
                 acc
@@ -293,8 +381,8 @@ class HyperelasticModel:
                 None,
             )
 
-        out, _ = jax.lax.scan(
-            body, jnp.zeros(self.space.num_dofs, self.space.X_geo.dtype), (Xc, dofc, validc)
+        out, _ = self._chunk_scan(
+            jnp.zeros(self.space.num_dofs, self.space.X_geo.dtype), body
         )
         return out
 
@@ -335,6 +423,25 @@ class HyperelasticModel:
                 1,
             )
             return jnp.sum(e_el) - jnp.vdot(self._f_ext, u)
+        if self.chunk_size is not None:
+            from .assembly import local_em as LE
+
+            n, s = self.mesh.element.num_nodes, self.mesh.dim
+
+            # element-minor energy sweep (layout rationale: _sweep_vector)
+            def body(acc, Xg, dofs, valid, p):
+                u_el = u[dofs].reshape(-1, n, s)
+                e_el = LE.compute_element_elliptic_energy_em(
+                    jnp.transpose(Xg, (1, 2, 0)),
+                    jnp.transpose(u_el, (1, 2, 0)),
+                    self.operator,
+                    LE.params_to_element_minor(p, Xg.shape[0]),
+                    self.tab,
+                )
+                return acc + jnp.sum(e_el * valid), None
+
+            e, _ = self._chunk_scan(jnp.zeros((), self.space.X_geo.dtype), body)
+            return e - jnp.vdot(self._f_ext, u)
         e = jnp.sum(
             L.compute_element_elliptic_energy(
                 self.space.X_geo, self._local(u), self.operator, self.params, self.tab
@@ -472,15 +579,20 @@ class HyperelasticModel:
                 num_segments=self.space.num_dofs,
             )
         else:
-            Xc, dofc, validc = self._chunked()
+            from .assembly import local_em as LE
 
-            def body(acc, xs):
-                Xg, dofs, valid = xs
+            # element-minor diagonal sweep (layout rationale: _sweep_vector)
+            def body(acc, Xg, dofs, valid, p):
                 u_el = u[dofs].reshape(-1, n, s)
-                A_el = L.assemble_element_elliptic_matrices(
-                    Xg, u_el, self.operator, self.params, self.tab
+                d_em = LE.elliptic_matrix_diagonal_em(
+                    jnp.transpose(Xg, (1, 2, 0)),
+                    jnp.transpose(u_el, (1, 2, 0)),
+                    self.operator,
+                    LE.params_to_element_minor(p, Xg.shape[0]),
+                    self.tab,
                 )
-                d_el = jnp.diagonal(A_el, axis1=1, axis2=2) * valid[:, None]
+                d_el = jnp.transpose(d_em, (2, 0, 1)).reshape(-1, n * s)
+                d_el = d_el * valid[:, None]
                 return (
                     acc
                     + jax.ops.segment_sum(
@@ -491,10 +603,8 @@ class HyperelasticModel:
                     None,
                 )
 
-            diag, _ = jax.lax.scan(
-                body,
-                jnp.zeros(self.space.num_dofs, self.space.X_geo.dtype),
-                (Xc, dofc, validc),
+            diag, _ = self._chunk_scan(
+                jnp.zeros(self.space.num_dofs, self.space.X_geo.dtype), body
             )
         return jnp.where(self.free_mask & (diag != 0.0), diag, 1.0)
 
@@ -531,6 +641,26 @@ class HyperelasticModel:
             )
         return cache[key]
 
+    def block_dia_expand_plan(self, max_diagonals=None, min_fill: float = 0.0):
+        """Cached class-static MXU band-assembly expansion plan (or None).
+
+        See :func:`~fenris_tpu.sparse.block_dia.band_expand_plan`; ``None``
+        when the mesh has no dominant slot-signature classes (irregular
+        node orderings), in which case assembly uses the flat scatter.
+        """
+        from .sparse.block_dia import band_expand_plan
+
+        key = (max_diagonals, float(min_fill))
+        cache = getattr(self, "_dia_expand_plans", None)
+        if cache is None:
+            cache = {}
+            self._dia_expand_plans = cache
+        if key not in cache:
+            cache[key] = band_expand_plan(
+                np.asarray(self.mesh.cells), self.block_dia_plan(*key)
+            )
+        return cache[key]
+
     def assemble_hessian_block_dia(self, u, max_diagonals=None, min_fill: float = 0.0):
         """Assembled tangent-stiffness operator in block-DIA layout (no BC).
 
@@ -545,6 +675,7 @@ class HyperelasticModel:
         from .sparse.block_dia import assemble_block_dia
 
         plan = self.block_dia_plan(max_diagonals, min_fill)
+        expand = self.block_dia_expand_plan(max_diagonals, min_fill)
         E = self.mesh.num_cells
         nd = self.mesh.element.num_nodes * self.mesh.dim
         mat_chunk = self.chunk_size if self.chunk_size is not None else None
@@ -552,7 +683,9 @@ class HyperelasticModel:
             mat_chunk = 8192  # bound the 6-D contraction transients
         A_el = self.assemble_hessian_matrices(u, chunk=mat_chunk)
         num_chunks = -(-(E * nd * nd) // 2**27)  # ~0.5 GB transients/chunk
-        return assemble_block_dia(plan, A_el, num_chunks=num_chunks)
+        return assemble_block_dia(
+            plan, A_el, num_chunks=num_chunks, expand=expand
+        )
 
     def assembled_hessian_operator(self, u, max_diagonals=None, min_fill: float = 0.0):
         """(hvp, inv_diag) from one assembled block-DIA Hessian.
@@ -615,7 +748,9 @@ class HyperelasticModel:
         # affordable; fall back to per-application jvp at very large scale.
         use_lin = self.mesh.num_cells * self.tab.num_points <= 16_000_000
         if assembled:
-            self.block_dia_plan()  # build outside the traced solve
+            # build host plans outside the traced solve
+            self.block_dia_plan()
+            self.block_dia_expand_plan()
 
         def solve_jacobian(u, f):
             if assembled:
@@ -729,7 +864,9 @@ class HyperelasticModel:
             cg_host_loop = self.space.num_dofs > 1_000_000
 
         if assembled:
-            self.block_dia_plan()  # build outside the traced inner solves
+            # build host plans outside the traced inner solves
+            self.block_dia_plan()
+            self.block_dia_expand_plan()
 
         def inner_solve(k, u32, f32):
             if assembled:

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import hoist_closure
+
 __all__ = [
     "NewtonResult",
     "newton",
@@ -153,9 +155,9 @@ def newton_line_search(
         # maps...) into explicit jit arguments — constants embedded in
         # while-loop bodies hit a pathological XLA:TPU slow path (see
         # sparse/cg.py).
-        res_conv, res_consts = jax.closure_convert(residual, x0)
+        res_conv, res_consts = hoist_closure(residual, x0)
         f_probe = jax.eval_shape(residual, x0)
-        sj_conv, sj_consts = jax.closure_convert(
+        sj_conv, sj_consts = hoist_closure(
             solve_jacobian, x0, jnp.zeros(f_probe.shape, f_probe.dtype)
         )
         if cache is not None:
@@ -429,7 +431,7 @@ def mixed_precision_newton(
     if not jax.config.jax_enable_x64:
         raise ValueError("mixed_precision_newton requires jax_enable_x64")
     u0 = jnp.asarray(u0, jnp.float64)
-    res_fn, res_consts = jax.closure_convert(residual64, u0)
+    res_fn, res_consts = hoist_closure(residual64, u0)
     res_jit = jax.jit(lambda consts, u: res_fn(u, *consts))
     if probe is not None:
         probe = jnp.asarray(probe, jnp.float64)

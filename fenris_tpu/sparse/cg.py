@@ -18,6 +18,8 @@ from typing import Callable, NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
+
+from ..utils import hoist_closure
 import numpy as np
 
 __all__ = ["conjugate_gradient", "CgResult", "CG_CONVERGED", "CG_MAX_ITER", "CG_INDEFINITE_OPERATOR", "CG_INDEFINITE_PRECONDITIONER"]
@@ -112,10 +114,10 @@ def conjugate_gradient(
     probe = jnp.zeros_like(b)
     # wrap in plain lambdas: closure_convert caches by callable hash, and
     # callable objects (e.g. multigrid preconditioners) may be unhashable
-    A_conv, a_consts = jax.closure_convert(lambda v: A(v), probe)
+    A_conv, a_consts = hoist_closure(lambda v: A(v), probe)
     if M is not None:
         M_fn = M
-        M_conv, m_consts = jax.closure_convert(lambda v: M_fn(v), probe)
+        M_conv, m_consts = hoist_closure(lambda v: M_fn(v), probe)
     else:
         M_conv, m_consts = None, ()
 

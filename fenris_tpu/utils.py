@@ -20,6 +20,7 @@ import numpy as np
 
 __all__ = [
     "log1p_accurate",
+    "hoist_closure",
     "rotation_svd",
     "polar_decomposition",
     "apd",
@@ -28,6 +29,42 @@ __all__ = [
     "condition_number_sym",
     "save_matrix_market",
 ]
+
+
+def hoist_closure(fun, *example_args):
+    """Like ``jax.closure_convert``, but hoists **every** array constant.
+
+    ``jax.closure_convert`` extracts only closed-over *tracers*; concrete
+    closed-over arrays stay embedded in the jaxpr as literals.  On this
+    platform that is a correctness-of-scale problem: a chunked 1M-element
+    model's index/geometry tables (~0.5 GB) get serialized into the HLO and
+    the remote TPU compiler rejects the request (HTTP 413) — and even when
+    accepted, program constants take XLA:TPU's pathological constant-gather
+    path (CLAUDE.md).  This variant traces ``fun`` once and returns
+    ``(converted, consts)`` with ALL jaxpr constants — concrete arrays and
+    tracers alike — hoisted to trailing arguments of ``converted``:
+    ``converted(*example_args, *consts) == fun(*example_args)``.
+    """
+    flat_ex, in_tree = jax.tree_util.tree_flatten(example_args)
+
+    def flat_fun(*xs):
+        args = jax.tree_util.tree_unflatten(in_tree, list(xs))
+        return fun(*args)
+
+    closed, out_shape = jax.make_jaxpr(flat_fun, return_shape=True)(*flat_ex)
+    out_tree = jax.tree_util.tree_structure(out_shape)
+    consts = list(closed.consts)
+    k = len(example_args)
+
+    def converted(*all_args):
+        args, cs = all_args[:k], all_args[k:]
+        flat, tree = jax.tree_util.tree_flatten(args)
+        if tree != in_tree:
+            raise TypeError(f"argument structure {tree} != traced {in_tree}")
+        out_flat = jax.core.eval_jaxpr(closed.jaxpr, list(cs), *flat)
+        return jax.tree_util.tree_unflatten(out_tree, out_flat)
+
+    return converted, consts
 
 
 def rotation_svd(M):

@@ -189,3 +189,26 @@ def test_solve_assembled_agrees_with_matrix_free():
     np.testing.assert_allclose(
         np.asarray(r_as.x), np.asarray(r_mf.x), rtol=0, atol=1e-8
     )
+
+
+def test_chunked_model_trace_then_eager_no_tracer_leak():
+    """closure_convert-tracing a chunked residual must not poison the cache.
+
+    Regression: ``_chunked()`` built its cache with jnp ops, so a first
+    call under a trace (exactly what ``mixed_precision_newton`` does via
+    ``jax.closure_convert(residual64, u0)``) cached tracers; the next
+    *eager* residual call raised UnexpectedTracerError.  Hit at res=99 in
+    tools/solve_assembled.py (any auto-chunked model + solve_mixed).
+    """
+    model = _cantilever_model(NeoHookeanMaterial(), res=2)
+    model.chunk_size = 7  # force the chunked sweep, odd size to exercise pad
+    model._chunk_cache = None
+    u0 = jnp.zeros(model.space.num_dofs)
+    res_fn, consts = jax.closure_convert(model.residual, u0)  # traces first
+    eager = model.residual(u0 + 0.001 * model.free_mask)  # then eager
+    jitted = res_fn(u0 + 0.001 * model.free_mask, *consts)
+    np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted), atol=1e-12)
+    # unchunked oracle
+    model2 = _cantilever_model(NeoHookeanMaterial(), res=2)
+    oracle = model2.residual(u0 + 0.001 * model.free_mask)
+    np.testing.assert_allclose(np.asarray(eager), np.asarray(oracle), atol=1e-12)
