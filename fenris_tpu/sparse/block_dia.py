@@ -30,6 +30,7 @@ good — the same precondition as the banded element kernels
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -37,13 +38,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import MATMUL_PRECISION
 from .block_ell import BlockEllMatrix, block_ell_matvec
+
+_einsum = functools.partial(jnp.einsum, precision=MATMUL_PRECISION)
 
 __all__ = [
     "BlockDiaMatrix",
     "BlockDiaAssemblyPlan",
+    "BandExpandPlan",
     "block_dia_from_csr",
     "block_dia_assembly_plan",
+    "band_expand_plan",
     "assemble_block_dia",
     "block_dia_matvec",
 ]
@@ -279,18 +285,208 @@ def block_dia_assembly_plan(
     )
 
 
+class BandExpandPlan(NamedTuple):
+    """Class-static MXU expansion plan for band assembly.
+
+    The flat per-entry ``segment_sum`` (:func:`_scatter_dia_impl`) is bound
+    by XLA:TPU's per-scattered-value ceiling (~90M values/s — 1.6 s for the
+    576 entries/element of 250k hex8).  This plan reformulates assembly so
+    the scatter moves *rows*, not scalars: elements are grouped on the host
+    into **slot-signature classes** (elements whose node-index deltas map
+    to identical band slots for every local (a, b) pair — a uniform box hex
+    mesh has exactly one class; RCM'd meshes have few).  Within a class the
+    band-row index of every element-matrix entry is static, so each
+    (element, local-node a) row of ``n*s*s`` values expands to its
+    ``D*s*s``-wide band-row layout by ONE constant 0/1 matmul (MXU; exact —
+    the map is injective per (a, b), no accumulation), and numeric assembly
+    becomes a single ``segment_sum`` of ``[E*n, D*s*s]`` rows keyed by
+    ``cells[e, a]``.  Elements outside the chosen classes (or with
+    remainder entries) fall back to the flat scatter on their subset.
+    """
+
+    M: jnp.ndarray  # [C, n, n*s*s, D*s*s] 0/1 expansion operators
+    class_mask: jnp.ndarray  # [C, E] f32 membership of fast-path elements
+    cols: jnp.ndarray  # [E, n] int32 target nodes (cells)
+    slow_idx: Optional[jnp.ndarray]  # [Ef] elements for the flat path
+    coverage: float  # fraction of elements on the fast path
+    num_classes: int
+
+
+def band_expand_plan(
+    cells,
+    plan: BlockDiaAssemblyPlan,
+    *,
+    max_classes: int = 4,
+    min_coverage: float = 0.5,
+) -> Optional[BandExpandPlan]:
+    """Build a :class:`BandExpandPlan` for ``cells`` against ``plan``.
+
+    Returns ``None`` when fewer than ``min_coverage`` of the elements fall
+    into the ``max_classes`` most common slot signatures (irregular meshes
+    where the class-static expansion would not pay for itself).
+    """
+    cells = np.asarray(cells, dtype=np.int64)
+    E, n = cells.shape
+    s, D = plan.solution_dim, plan.num_diagonals
+    if D * s * s > 1024:
+        # expansion cost/memory scale with the band-row count; at this many
+        # diagonals the ordering is not locality-preserving and block-DIA
+        # itself is the wrong layout
+        return None
+    offsets = np.asarray(plan.offsets, dtype=np.int64)
+    delta = cells[:, None, :] - cells[:, :, None]  # [E, a, b] = col - row node
+    slot = np.searchsorted(offsets, delta)
+    on = (slot < D) & (offsets[np.minimum(slot, D - 1)] == delta)
+    slot_m = np.where(on, slot, D).reshape(E, n * n).astype(np.int32)
+    ok = on.reshape(E, n * n).all(axis=1)
+    if not ok.any():
+        return None
+    rows = np.ascontiguousarray(slot_m[ok])
+    key = rows.view(np.dtype((np.void, rows.dtype.itemsize * rows.shape[1])))
+    key = key.reshape(-1)
+    uniq, first, inv, counts = np.unique(
+        key, return_index=True, return_inverse=True, return_counts=True
+    )
+    order = np.argsort(counts)[::-1][:max_classes]
+    coverage = counts[order].sum() / E
+    if coverage < min_coverage:
+        return None
+    C = len(order)
+    rank_of = np.full(len(uniq), -1, np.int64)
+    rank_of[order] = np.arange(C)
+    cls = np.full(E, -1, np.int64)
+    cls[ok] = rank_of[inv]
+
+    ii, bb, jj = np.meshgrid(
+        np.arange(s), np.arange(n), np.arange(s), indexing="ij"
+    )
+    comp = ((ii * n + bb) * s + jj).ravel()  # vals layout: comp = (i, b, j)
+    M = np.zeros((C, n, n * s * s, D * s * s), np.float32)
+    for ci, u in enumerate(order):
+        sl = rows[first[u]].reshape(n, n)
+        for a in range(n):
+            r = (sl[a][bb] * s + ii) * s + jj  # band row (d*s + i)*s + j
+            M[ci, a, comp, r.ravel()] = 1.0
+    class_mask = (cls[None, :] == np.arange(C)[:, None]).astype(np.float32)
+    slow = np.flatnonzero(cls < 0)
+    return BandExpandPlan(
+        M=jnp.asarray(M),
+        class_mask=jnp.asarray(class_mask),
+        cols=jnp.asarray(cells.astype(np.int32)),
+        slow_idx=jnp.asarray(slow.astype(np.int64)) if len(slow) else None,
+        coverage=float(coverage),
+        num_classes=C,
+    )
+
+
+@partial(jax.jit, static_argnames=("s", "N", "num_chunks"))
+def _expand_scatter_impl(A_el, cols, class_mask, M, s: int, N: int, num_chunks: int):
+    """Fast band assembly: class-static expansion + ONE row segment_sum.
+
+    Returns the band region as ``[N, D*s*s]`` (node-major rows; the caller
+    transposes once).  ``num_chunks`` bounds the [chunk*n, D*s*s] expanded
+    transient.
+    """
+    E, nd = A_el.shape[0], A_el.shape[1]
+    n = nd // s
+    R = M.shape[-1]
+    Md = M.astype(A_el.dtype)
+
+    def chunk_rows(Ab, cb, mb):
+        A5 = Ab.reshape(-1, n, s, n, s)
+        # vals[a, comp, e] (element-minor); comp = (i, b, j) matches
+        # band_expand_plan
+        vals = jnp.transpose(A5, (1, 2, 3, 4, 0)).reshape(n, s * n * s, -1)
+        exp = None
+        for c in range(Md.shape[0]):
+            vc = vals * mb[c][None, None, :]
+            # exact: 0/1 operator, injective per (a, b) — no accumulation
+            e = _einsum("ace,acr->aer", vc, Md[c])
+            exp = e if exp is None else exp + e
+        rows = exp.reshape(-1, R)  # a-major rows
+        ids = jnp.transpose(cb).reshape(-1)
+        return rows, ids
+
+    if num_chunks <= 1:
+        rows, ids = chunk_rows(A_el, cols, class_mask)
+        return jax.ops.segment_sum(rows, ids, num_segments=N)
+    chunk = -(-E // num_chunks)
+    pad = chunk * num_chunks - E
+    A_p = jnp.pad(A_el, ((0, pad), (0, 0), (0, 0)))
+    c_p = jnp.pad(cols, ((0, pad), (0, 0)), constant_values=N)
+    m_p = jnp.pad(class_mask, ((0, 0), (0, pad)))
+    A_c = A_p.reshape(num_chunks, chunk, nd, nd)
+    c_c = c_p.reshape(num_chunks, chunk, cols.shape[1])
+    m_c = jnp.moveaxis(m_p.reshape(-1, num_chunks, chunk), 1, 0)
+
+    def body(acc, xs):
+        Ab, cb, mb = xs
+        rows, ids = chunk_rows(Ab, cb, mb)
+        return acc + jax.ops.segment_sum(rows, ids, num_segments=N + 1), None
+
+    out, _ = jax.lax.scan(
+        body, jnp.zeros((N + 1, R), A_el.dtype), (A_c, c_c, m_c)
+    )
+    return out[:N]
+
+
 def assemble_block_dia(
-    plan: BlockDiaAssemblyPlan, element_matrices, num_chunks: int = 1
+    plan: BlockDiaAssemblyPlan,
+    element_matrices,
+    num_chunks: int = 1,
+    expand: Optional[BandExpandPlan] = None,
 ) -> BlockDiaMatrix:
     """Numeric assembly: element matrices [E, n*s, n*s] → BlockDiaMatrix.
 
-    One deterministic ``segment_sum`` into the node-minor band stack (the
-    TPU replacement for CSR numeric assembly + layout conversion); matches
-    ``block_dia_from_csr(pattern, assemble_csr(...))`` to summation-order
-    roundoff.  ``num_chunks`` bounds the transient index/value arrays.
+    Default path: one deterministic ``segment_sum`` of every entry into the
+    node-minor band stack (the TPU replacement for CSR numeric assembly +
+    layout conversion); matches ``block_dia_from_csr(pattern,
+    assemble_csr(...))`` to summation-order roundoff.  ``num_chunks``
+    bounds the transient index/value arrays.
+
+    With ``expand`` (a :class:`BandExpandPlan`), fast-path elements are
+    assembled by the class-static MXU expansion + ONE row-vector
+    ``segment_sum`` (~row-rate instead of value-rate scatter); only
+    out-of-class elements go through the flat per-entry scatter.
     """
     s, N, D, kr = plan.solution_dim, plan.num_nodes, plan.num_diagonals, plan.rem_k
     total = (D + kr) * s * s * N
+    if expand is not None:
+        bandsT = _expand_scatter_impl(
+            element_matrices,
+            expand.cols,
+            expand.class_mask,
+            expand.M,
+            s,
+            N,
+            int(num_chunks),
+        )
+        bands = jnp.transpose(bandsT)
+        rem_blocks = (
+            jnp.zeros((kr * s * s, N), element_matrices.dtype) if kr else None
+        )
+        if expand.slow_idx is not None:
+            A_f = element_matrices[expand.slow_idx]
+            base_f = plan.base[expand.slow_idx]
+            flat = _scatter_dia_impl(A_f, base_f, total, s, N, 1)
+            bands = bands + flat[: D * s * s * N].reshape(D * s * s, N)
+            if kr:
+                rem_blocks = flat[D * s * s * N :].reshape(kr * s * s, N)
+        remainder = None
+        if kr:
+            remainder = BlockEllMatrix(
+                neighbors=plan.rem_neighbors,
+                blocks=rem_blocks,
+                num_nodes=N,
+                solution_dim=s,
+            )
+        return BlockDiaMatrix(
+            offsets=plan.offsets,
+            bands=bands,
+            num_nodes=N,
+            solution_dim=s,
+            remainder=remainder,
+        )
     flat = _scatter_dia_impl(
         element_matrices, plan.base, total, s, N, int(num_chunks)
     )

@@ -515,3 +515,108 @@ def test_solve_poisson_assembled_matches_csr_route():
             mesh, rule, erule, src, ue, ug, dn, max_diagonals=5
         )
         np.testing.assert_allclose(np.asarray(r2.u), np.asarray(r0.u), atol=1e-10)
+
+
+def test_band_expand_assembly_matches_flat_scatter(rng):
+    """Class-static MXU expansion assembly == flat per-entry scatter.
+
+    A uniform box hex mesh has exactly one slot-signature class (coverage
+    1.0), so the fast path handles every element: the expansion + one
+    row segment_sum must reproduce the flat scatter to summation-order
+    roundoff, chunked and unchunked.
+    """
+    import jax.numpy as jnp
+
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+    from fenris_tpu.sparse.block_dia import (
+        assemble_block_dia,
+        band_expand_plan,
+        block_dia_assembly_plan,
+    )
+
+    mesh = create_unit_box_uniform_hex_mesh_3d(4)
+    cells = np.asarray(mesh.cells)
+    plan = block_dia_assembly_plan(cells, mesh.num_vertices, 3)
+    ep = band_expand_plan(cells, plan)
+    assert ep is not None and ep.num_classes == 1 and ep.coverage == 1.0
+    assert ep.slow_idx is None
+    E, n = cells.shape
+    A_el = jnp.asarray(rng.standard_normal((E, 3 * n, 3 * n)))
+    ref = assemble_block_dia(plan, A_el)
+    for nc in (1, 3):
+        m = assemble_block_dia(plan, A_el, num_chunks=nc, expand=ep)
+        np.testing.assert_allclose(
+            np.asarray(m.bands), np.asarray(ref.bands), rtol=1e-13, atol=1e-13
+        )
+
+
+def test_band_expand_assembly_with_fallback_subset(rng):
+    """Out-of-class elements route through the flat scatter and still land.
+
+    Appending rotated copies of some cells creates a second signature
+    class; with max_classes=1 those elements take the fallback subset and
+    the combined result must still match the all-flat scatter.
+    """
+    import jax.numpy as jnp
+
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+    from fenris_tpu.sparse.block_dia import (
+        assemble_block_dia,
+        band_expand_plan,
+        block_dia_assembly_plan,
+    )
+
+    mesh = create_unit_box_uniform_hex_mesh_3d(3)
+    cells = np.asarray(mesh.cells)
+    cells2 = np.concatenate([cells, np.roll(cells[:5], 2, axis=1)], axis=0)
+    plan = block_dia_assembly_plan(cells2, mesh.num_vertices, 2)
+    ep = band_expand_plan(cells2, plan, max_classes=1)
+    assert ep is not None and ep.slow_idx is not None and len(ep.slow_idx) == 5
+    E, n = cells2.shape
+    A_el = jnp.asarray(rng.standard_normal((E, 2 * n, 2 * n)))
+    ref = assemble_block_dia(plan, A_el)
+    m = assemble_block_dia(plan, A_el, expand=ep)
+    np.testing.assert_allclose(
+        np.asarray(m.bands), np.asarray(ref.bands), rtol=1e-12, atol=1e-12
+    )
+    assert (m.remainder is None) == (ref.remainder is None)
+    if ref.remainder is not None:
+        np.testing.assert_allclose(
+            np.asarray(m.remainder.blocks),
+            np.asarray(ref.remainder.blocks),
+            rtol=1e-12,
+            atol=1e-12,
+        )
+
+
+def test_hoist_closure_hoists_concrete_arrays():
+    """hoist_closure extracts concrete closure arrays as arguments.
+
+    jax.closure_convert leaves concrete closures embedded as program
+    literals — at 1M elements the chunked model's tables (~0.5 GB) blow
+    the remote-compile request size (HTTP 413).  The hoisted form must
+    (a) expose the arrays as consts and (b) evaluate identically, eager
+    and jitted, including under an outer jit (tracer closure).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fenris_tpu.utils import hoist_closure
+
+    big = jnp.asarray(np.arange(300, dtype=np.float64).reshape(100, 3))
+    idx = jnp.asarray(np.arange(100)[::-1].copy())
+    f = lambda u: (big * u[idx][:, None]).sum(1)
+    u0 = jnp.linspace(0.0, 1.0, 100)
+    conv, consts = hoist_closure(f, u0)
+    assert any(np.shape(c) == (100, 3) for c in consts)
+    out = jax.jit(lambda u, *c: conv(u, *c))(u0, *consts)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(f(u0)), rtol=1e-14)
+
+    def outer(x):
+        g = lambda u: (x * u).sum() * u
+        cg_, cc = hoist_closure(g, u0)
+        return cg_(u0, *cc)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(outer)(u0)), np.asarray(outer(u0))
+    )
