@@ -500,10 +500,18 @@ class HyperelasticModel:
         return B.scatter_add(self._plan, f_el.reshape(pe, n, s)).reshape(-1)
 
     def hessian_vector_product(self, u, v):
-        """Exact Hessian action (matrix-free): closed-form tangent sweep on
-        the banded path, jvp of the residual otherwise."""
+        """Exact Hessian action (matrix-free).
+
+        Dispatch (measured at 250k hex8 Neo-Hookean on v5e, round 3):
+        fused Pallas kernels use the closed-form tangent sweep (the closed
+        form is what keeps their live set VMEM-resident); the XLA banded
+        path uses ``jax.jvp`` of the primal sweep — the closed-form
+        tangent's XLA lowering is 3.4x *slower* than jvp-of-primal there
+        (90 ms vs 26 ms; the vmapped small-matrix inverse chains lower
+        poorly), so "half the math" loses to better codegen.
+        """
         vm = jnp.where(self.free_mask, v, 0.0)
-        if self._plan is not None:
+        if self._plan is not None and self._fused_active():
             hv = self._tangent_sweep(u, vm)
         else:
             _, hv = jax.jvp(self.internal_forces, (u,), (vm,))
