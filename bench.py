@@ -29,6 +29,20 @@ import numpy as np
 GATHER_PATH_ANCHOR_ELPS = 1.3e6  # measured unstructured-path hvp, round 1
 
 
+def _err(e) -> str:
+    """Compact error string for the JSON line; full traceback to stderr.
+
+    BENCH_r03 embedded a multi-paragraph traceback inside the JSON line
+    and blew past the driver's tail-capture window (parsed: null) — the
+    printed line must stay compact no matter what fails.
+    """
+    import sys
+    import traceback
+
+    traceback.print_exc(file=sys.stderr)
+    return f"{type(e).__name__}: {e}"[:200]
+
+
 def device_loop_time(step, x0, iters: int, reps: int = 3, operands=()) -> float:
     """Best-of-reps per-iteration time of ``step`` chained ``iters`` times.
 
@@ -128,12 +142,19 @@ def bench_element_stiffness_roofline():
         n = mesh.element.num_nodes
         u0 = jnp.zeros((E, n, 3), space.X_geo.dtype)
 
-        def step(Xg, u0=u0, tab=tab):
-            A = L.assemble_element_elliptic_matrices(Xg, u0, mop, params, tab)
-            # fold the output back into an X-shaped perturbation to chain
-            return Xg + 1e-30 * jnp.sum(A) * jnp.ones_like(Xg)
+        # The element matrices A are the LOOP CARRY, so XLA must
+        # materialize the full [E, ns, ns] buffer every iteration — a
+        # scalar-reduction chain would let the store fuse away and price
+        # a kernel the model's (ns)^2 write term never ran (round-3
+        # tet10 "roofline_fraction" 1.17 > 1).
+        def step(A, Xg, u0=u0, tab=tab):
+            return L.assemble_element_elliptic_matrices(
+                Xg + 1e-30 * A[0, 0, 0], u0, mop, params, tab
+            )
 
-        dt = device_loop_time(step, space.X_geo, 4)
+        ns = n * 3
+        A0 = jnp.zeros((E, ns, ns), space.X_geo.dtype)
+        dt = device_loop_time(step, A0, 4, operands=(space.X_geo,))
         out.append(
             stiffness_roofline(
                 name, tab.num_points, n, mesh.element.geometry.num_nodes, 3, 3, E / dt
@@ -167,6 +188,8 @@ def bench_assembled_newton(res: int = 63):
     )
     u0 = jnp.zeros(model.space.num_dofs, jnp.float32)
     plan = model.block_dia_plan()  # host-built, cached
+    model.block_dia_expand_plan()  # eager too (r3: first-touch under the
+    # fori_loop trace cached tracers and poisoned every later call)
 
     def assemble_once(u):
         m = model.assemble_hessian_block_dia(u)
@@ -284,7 +307,7 @@ def bench_spmv(res: int = 69):
             block_ell_vs_csr=round(dt_csr / dt_ell, 2),
         )
     except Exception as e:
-        out["csr_error"] = f"{type(e).__name__}: {e}"
+        out["csr_error"] = _err(e)
     return out
 
 
@@ -382,7 +405,7 @@ def main() -> None:
             "vs_gather_path": round(umodel.mesh.num_cells / dt_u / GATHER_PATH_ANCHOR_ELPS, 2),
         }
     except Exception as e:  # never let the secondary metric break the bench
-        unstructured = {"error": f"{type(e).__name__}: {e}"}
+        unstructured = {"error": _err(e)}
 
     # ORDERING INVARIANT: bench_spmv must stay the LAST device work in this
     # process — its scalar-CSR program has faulted the TPU worker, and a
@@ -392,15 +415,15 @@ def main() -> None:
     try:
         assembled_detail = bench_assembled_newton()
     except Exception as e:
-        assembled_detail = {"error": f"{type(e).__name__}: {e}"}
+        assembled_detail = {"error": _err(e)}
     try:
         roofline_detail = bench_element_stiffness_roofline()
     except Exception as e:
-        roofline_detail = {"error": f"{type(e).__name__}: {e}"}
+        roofline_detail = {"error": _err(e)}
     try:
         spmv_detail = bench_spmv()
     except Exception as e:
-        spmv_detail = {"error": f"{type(e).__name__}: {e}"}
+        spmv_detail = {"error": _err(e)}
 
     elps = E / dt_hvp
     print(

@@ -631,6 +631,13 @@ class HyperelasticModel:
         See :func:`~fenris_tpu.sparse.block_dia.block_dia_assembly_plan`;
         the plan depends only on the mesh and the diagonal selection, so
         it is built once and reused across Newton iterations/solves.
+
+        Tracer safety: the plan is pure host work on concrete mesh data,
+        so construction runs under ``jax.ensure_compile_time_eval()`` —
+        a first call inside a jit/jvp trace (e.g. ``jax.jit`` of
+        :meth:`assemble_hessian_block_dia`) still caches concrete arrays
+        instead of leaking tracers (the round-3 bench failure mode); a
+        tracer-leaf guard backstops the cache like :meth:`_chunked`.
         """
         from .sparse.block_dia import block_dia_assembly_plan
 
@@ -640,13 +647,43 @@ class HyperelasticModel:
             cache = {}
             self._dia_plans = cache
         if key not in cache:
-            cache[key] = block_dia_assembly_plan(
-                np.asarray(self.mesh.cells),
-                self.mesh.num_vertices,
-                self.mesh.dim,
-                max_diagonals=max_diagonals,
-                min_fill=min_fill,
+            with jax.ensure_compile_time_eval():
+                plan = block_dia_assembly_plan(
+                    np.asarray(self.mesh.cells),
+                    self.mesh.num_vertices,
+                    self.mesh.dim,
+                    max_diagonals=max_diagonals,
+                    min_fill=min_fill,
+                )
+            # a band costs s*s*N values regardless of population: a mesh
+            # without a bandwidth-reducing node ordering explodes D (up to
+            # ~n^2 per element pair set) — warn before the bands allocation
+            # does (advisor r3; pass min_fill/max_diagonals or RCM-reorder)
+            band_bytes = (
+                (plan.num_diagonals + plan.rem_k)
+                * plan.solution_dim**2
+                * plan.num_nodes
+                * np.dtype(self.space.X_geo.dtype).itemsize
             )
+            if plan.num_diagonals > 512 or band_bytes > 2**33:
+                import warnings
+
+                warnings.warn(
+                    f"block-DIA plan keeps {plan.num_diagonals} diagonals "
+                    f"(~{band_bytes / 2**30:.1f} GiB of bands, fill "
+                    f"{plan.fill:.3f}) — the mesh node ordering is not "
+                    "locality-preserving; RCM-reorder the mesh "
+                    "(fenris_tpu.mesh.reorder) or pass min_fill/"
+                    "max_diagonals to spill sparse deltas to the ELL "
+                    "remainder",
+                    stacklevel=2,
+                )
+            if not any(
+                isinstance(x, jax.core.Tracer)
+                for x in jax.tree_util.tree_leaves(plan)
+            ):
+                cache[key] = plan
+            return plan
         return cache[key]
 
     def block_dia_expand_plan(self, max_diagonals=None, min_fill: float = 0.0):
@@ -655,6 +692,7 @@ class HyperelasticModel:
         See :func:`~fenris_tpu.sparse.block_dia.band_expand_plan`; ``None``
         when the mesh has no dominant slot-signature classes (irregular
         node orderings), in which case assembly uses the flat scatter.
+        Tracer-safe under traces like :meth:`block_dia_plan`.
         """
         from .sparse.block_dia import band_expand_plan
 
@@ -664,9 +702,16 @@ class HyperelasticModel:
             cache = {}
             self._dia_expand_plans = cache
         if key not in cache:
-            cache[key] = band_expand_plan(
-                np.asarray(self.mesh.cells), self.block_dia_plan(*key)
-            )
+            with jax.ensure_compile_time_eval():
+                plan = band_expand_plan(
+                    np.asarray(self.mesh.cells), self.block_dia_plan(*key)
+                )
+            if any(
+                isinstance(x, jax.core.Tracer)
+                for x in jax.tree_util.tree_leaves(plan)
+            ):
+                return plan
+            cache[key] = plan
         return cache[key]
 
     def assemble_hessian_block_dia(self, u, max_diagonals=None, min_fill: float = 0.0):
@@ -731,6 +776,8 @@ class HyperelasticModel:
         line_search: bool = True,
         preconditioner: Optional[Callable] = None,
         assembled: bool = False,
+        dia_max_diagonals: Optional[int] = None,
+        dia_min_fill: float = 0.0,
     ) -> NewtonResult:
         """Newton-Krylov solve of ∇E(u) = 0 (fully jittable).
 
@@ -748,6 +795,9 @@ class HyperelasticModel:
         much cheaper per CG iteration than the matrix-free tangent sweep
         when the mesh's node ordering keeps the diagonal count small
         (structured-ish or RCM-reordered meshes).
+        ``dia_max_diagonals``/``dia_min_fill`` tune the diagonal selection
+        (see :func:`~fenris_tpu.sparse.block_dia.block_dia_assembly_plan`)
+        for irregular meshes where exact DIA would keep too many bands.
         """
         if u0 is None:
             u0 = jnp.zeros(self.space.num_dofs, dtype=self.space.X_geo.dtype)
@@ -757,12 +807,14 @@ class HyperelasticModel:
         use_lin = self.mesh.num_cells * self.tab.num_points <= 16_000_000
         if assembled:
             # build host plans outside the traced solve
-            self.block_dia_plan()
-            self.block_dia_expand_plan()
+            self.block_dia_plan(dia_max_diagonals, dia_min_fill)
+            self.block_dia_expand_plan(dia_max_diagonals, dia_min_fill)
 
         def solve_jacobian(u, f):
             if assembled:
-                hvp, inv_diag = self.assembled_hessian_operator(u)
+                hvp, inv_diag = self.assembled_hessian_operator(
+                    u, dia_max_diagonals, dia_min_fill
+                )
                 M = (
                     (lambda v: inv_diag * v)
                     if preconditioner is None
@@ -797,6 +849,8 @@ class HyperelasticModel:
             cg_max_iter,
             line_search,
             assembled,
+            dia_max_diagonals,
+            float(dia_min_fill),
             identity_cache_key(self, preconditioner)
             if preconditioner is not None
             else None,
@@ -821,6 +875,8 @@ class HyperelasticModel:
         preconditioner: Optional[Callable] = None,
         cg_host_loop: Optional[bool] = None,
         assembled: bool = False,
+        dia_max_diagonals: Optional[int] = None,
+        dia_min_fill: float = 0.0,
         verbose: bool = False,
     ) -> NewtonResult:
         """Mixed-precision Newton-Krylov: f64 outer residual, f32 inner CG.
@@ -873,12 +929,14 @@ class HyperelasticModel:
 
         if assembled:
             # build host plans outside the traced inner solves
-            self.block_dia_plan()
-            self.block_dia_expand_plan()
+            self.block_dia_plan(dia_max_diagonals, dia_min_fill)
+            self.block_dia_expand_plan(dia_max_diagonals, dia_min_fill)
 
         def inner_solve(k, u32, f32):
             if assembled:
-                hvp, inv_diag = self.assembled_hessian_operator(u32)
+                hvp, inv_diag = self.assembled_hessian_operator(
+                    u32, dia_max_diagonals, dia_min_fill
+                )
                 prec = (
                     (lambda v: inv_diag * v)
                     if preconditioner is None

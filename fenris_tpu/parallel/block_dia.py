@@ -181,12 +181,17 @@ class ShardedBlockDia:
         rel_tolerance: float = 1e-6,
         max_iter: int = 1000,
         preconditioner=None,
+        check_definiteness: bool = True,
     ) -> CgResult:
         """Jacobi-PCG on the sharded operator (all state stays sharded).
 
         ``b``/``free_blocks``/``x0`` are sharded ``[N_pad, s]`` blocks
         (``free_blocks`` boolean; constrained dofs pass through
         identically, matching the single-device Dirichlet semantics).
+        ``check_definiteness`` matches
+        :func:`~fenris_tpu.sparse.cg.conjugate_gradient`'s default so an
+        indefinite tangent reports CG_INDEFINITE_OPERATOR like the
+        single-device path (advisor r3).
         """
         if free_blocks is None:
             free_blocks = jax.device_put(
@@ -209,5 +214,5 @@ class ShardedBlockDia:
             preconditioner=preconditioner,
             rel_tolerance=rel_tolerance,
             max_iter=max_iter,
-            check_definiteness=False,
+            check_definiteness=check_definiteness,
         )

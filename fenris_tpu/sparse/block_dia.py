@@ -238,9 +238,12 @@ def block_dia_assembly_plan(
     offs, pop = np.unique(u_delta, return_counts=True)
     keep = (pop >= min_fill * N) | (offs == 0)
     if max_diagonals is not None and keep.sum() > max_diagonals:
+        # the zero offset (Jacobi diagonal) always occupies one of the
+        # max_diagonals slots, so the cap is exact (advisor r3)
         order = np.argsort(pop)[::-1]
+        order = order[offs[order] != 0]
         kept = np.zeros(len(offs), bool)
-        kept[order[:max_diagonals]] = True
+        kept[order[: max(max_diagonals - 1, 0)]] = True
         kept[offs == 0] = True
         keep &= kept
     offsets = offs[keep]

@@ -112,8 +112,9 @@ def conjugate_gradient(
     # XLA constants inside the while-loop body hit a pathological slow path
     # (~1000x slower gathers than the same arrays passed as parameters).
     probe = jnp.zeros_like(b)
-    # wrap in plain lambdas: closure_convert caches by callable hash, and
-    # callable objects (e.g. multigrid preconditioners) may be unhashable
+    # hoist_closure re-traces per call (no caching); the lambda wrap only
+    # normalizes callable objects (e.g. multigrid preconditioners) to a
+    # plain function signature
     A_conv, a_consts = hoist_closure(lambda v: A(v), probe)
     if M is not None:
         M_fn = M

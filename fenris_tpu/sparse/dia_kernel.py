@@ -1,0 +1,203 @@
+"""Fused Pallas band-sweep SpMV for block-DIA operators.
+
+Parity target: the CSR SpMV inside the reference's CG loop
+(fenris-sparse/src/cg.rs:373-450), at TPU HBM streaming bandwidth.
+
+:func:`~.block_dia.block_dia_matvec` expresses y = A x as D*s*s separate
+full-lane FMAs; XLA:TPU schedules them as many passes that re-read/
+re-write the y accumulators, reaching only ~13% of HBM peak (measured
+v5e, 1M dofs; XLA reformulations — one fused multiply-reduce, unrolled-d
+— are 4x *worse*).  The fix is one Pallas kernel that keeps the whole
+accumulation in VMEM:
+
+* **pack** (once per assembled operator): permute ``bands [D*s*s, N]``
+  into an output-component-major stack ``[s*s*Dp, Npad]`` where row
+  ``(i*s + j)*Dp + d`` holds band ``(d*s + i)*s + j`` (``Dp`` = D rounded
+  up to 8 sublanes, ``Npad`` = N rounded up to the lane-chunk size) —
+  one device copy, amortized over all CG iterations of the Newton step;
+* **shift** (per matvec, XLA): the D statically-shifted reads of x
+  become ``Xs [s*Dp, Npad]`` via `lax.slice` of the zero-padded x — pure
+  streaming copies (~1/3 of the bands traffic);
+* **sweep** (per matvec, Pallas): grid over lane chunks; each step loads
+  the ``[s*s*Dp, CN]`` bands block and the matching ``[s*Dp, CN]`` Xs
+  block into VMEM and reduces all ``s*Dp`` products per output component
+  in one pass — y is written exactly once.
+
+Everything is tile-aligned by construction (rows are multiples of 8,
+lanes multiples of 128) — non-aligned shapes MISCOMPILE on this Mosaic
+toolchain (see ops/structured_stencil.py's round-1 postmortem).
+
+Bit-consistency: the kernel sums the D*s*s products per output lane in a
+fixed order, and zero pad rows contribute exact zeros, so results match
+:func:`block_dia_matvec` to f32 summation-order roundoff.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax._src.config import enable_x64  # context manager (jax 0.9: not re-exported)
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .block_dia import BlockDiaMatrix, block_dia_matvec
+from .block_ell import block_ell_matvec
+
+__all__ = ["PackedDia", "pack_block_dia", "packed_dia_matvec", "block_dia_operator"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class PackedDia(NamedTuple):
+    """Kernel-layout view of a :class:`BlockDiaMatrix` (no remainder)."""
+
+    bands_k: jnp.ndarray  # [s*s*Dp, Npad], row (i*s + j)*Dp + d
+    offsets: Tuple[int, ...]
+    num_nodes: int
+    solution_dim: int
+    lanes: int  # CN: lane-chunk size (Npad % CN == 0)
+
+    @property
+    def dp(self) -> int:
+        return self.bands_k.shape[0] // self.solution_dim**2
+
+
+def _pick_lanes(s: int, dp: int, num_nodes: int) -> int:
+    """Lane-chunk size: largest multiple of 128 within the VMEM budget.
+
+    Per grid step the kernel holds (s*s*Dp + s*Dp + 8) rows x CN lanes of
+    f32, double-buffered by the pipeline; target ~24 MB so the 64 MB
+    scoped limit keeps ample headroom.
+    """
+    rows = s * s * dp + s * dp + 8
+    cn = (24 * 2**20 // (rows * 4 * 2)) // 128 * 128
+    cn = max(128, min(8192, cn))
+    return min(cn, _round_up(num_nodes, 128))
+
+
+def pack_block_dia(m: BlockDiaMatrix, lanes: Optional[int] = None) -> PackedDia:
+    """Repack bands into the kernel layout (one device copy).
+
+    The remainder (block-ELL spill) is not packed; callers add
+    ``block_ell_matvec(m.remainder, v)`` separately (see
+    :func:`block_dia_operator`).
+    """
+    s, N, D = m.solution_dim, m.num_nodes, m.num_diagonals
+    dp = _round_up(max(D, 1), 8)
+    cn = int(lanes) if lanes is not None else _pick_lanes(s, dp, N)
+    npad = _round_up(N, cn)
+    B = m.bands.reshape(D, s, s, N).transpose(1, 2, 0, 3)  # [i, j, d, N]
+    B = jnp.pad(B, ((0, 0), (0, 0), (0, dp - D), (0, npad - N)))
+    return PackedDia(
+        bands_k=B.reshape(s * s * dp, npad),
+        offsets=m.offsets,
+        num_nodes=N,
+        solution_dim=s,
+        lanes=cn,
+    )
+
+
+def _sweep_kernel(s: int, dp: int, b_ref, x_ref, o_ref):
+    X = x_ref[:]  # [s*Dp, CN]
+    rows = [None] * o_ref.shape[0]
+    for i in range(s):
+        Bi = b_ref[i * s * dp : (i + 1) * s * dp, :]
+        rows[i] = jnp.sum(Bi * X, axis=0, keepdims=True)
+    for r in range(s, o_ref.shape[0]):
+        rows[r] = jnp.zeros((1, X.shape[1]), o_ref.dtype)
+    o_ref[:] = jnp.concatenate(rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+def _sweep_call(bands_k, xs, meta, interpret=False):
+    s, dp, cn, npad = meta
+    kernel = functools.partial(_sweep_kernel, s, dp)
+    # trace with 32-bit weak literals on the compiled f32 path (i64
+    # literals fail Mosaic legalization — see ops/structured_stencil.py);
+    # f64 runs interpret-only (CPU parity tests) and must keep x64 on
+    import contextlib
+
+    ctx = (
+        enable_x64(False)
+        if bands_k.dtype == jnp.float32
+        else contextlib.nullcontext()
+    )
+    with ctx:
+        out = pl.pallas_call(
+            kernel,
+            grid=(npad // cn,),
+            in_specs=[
+                pl.BlockSpec((s * s * dp, cn), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((s * dp, cn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, cn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, npad), bands_k.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(bands_k, xs)
+    return out
+
+
+def packed_dia_matvec(p: PackedDia, v, *, interpret: bool = False):
+    """y = A x through the fused band-sweep kernel (no remainder)."""
+    s, N = p.solution_dim, p.num_nodes
+    dp = p.dp
+    npad = p.bands_k.shape[1]
+    offsets = p.offsets
+    D = len(offsets)
+    lo = max(0, -min(offsets)) if offsets else 0
+    hi = max(0, max(offsets)) if offsets else 0
+    xb = v.reshape(N, s).astype(p.bands_k.dtype)
+    cols = jnp.pad(xb, ((lo, hi), (0, 0))).T  # [s, lo + N + hi]
+    shifted = [
+        jax.lax.slice_in_dim(cols, lo + o, lo + o + N, axis=1) for o in offsets
+    ]
+    X = jnp.stack(shifted, axis=1)  # [s, D, N]
+    X = jnp.pad(X, ((0, 0), (0, dp - D), (0, npad - N))).reshape(s * dp, npad)
+    out = _sweep_call(p.bands_k, X, (s, dp, p.lanes, npad), interpret=interpret)
+    return out[:s, :N].T.reshape(-1).astype(v.dtype)
+
+
+def _pallas_applicable(m: BlockDiaMatrix) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    if jnp.result_type(m.bands.dtype) != jnp.float32:
+        return False
+    s, D = m.solution_dim, m.num_diagonals
+    rows = s * s * _round_up(max(D, 1), 8)
+    # beyond ~4096 band rows the per-chunk VMEM blocks get too thin for
+    # the sweep to stream (and the ordering is bad enough that block-DIA
+    # itself is the wrong layout)
+    return rows <= 4096 and m.num_nodes >= 1024
+
+
+def block_dia_operator(m: BlockDiaMatrix, *, pallas="auto", lanes=None):
+    """Return a ``matvec(v)`` closure for ``m``, kernel-accelerated on TPU.
+
+    ``pallas="auto"`` picks the fused band-sweep kernel when the backend
+    is TPU, the bands are f32, and the diagonal count fits the VMEM
+    budget; otherwise (CPU parity mode, f64, tiny or pathological
+    operators) it falls back to the XLA :func:`block_dia_matvec`.  The
+    pack copy runs once here, amortized over every CG iteration that
+    applies the operator.
+    """
+    use = _pallas_applicable(m) if pallas == "auto" else bool(pallas)
+    if not use:
+        return lambda v: block_dia_matvec(m, v)
+    packed = pack_block_dia(m, lanes)
+    rem = m.remainder
+
+    def matvec(v):
+        y = packed_dia_matvec(packed, v)
+        if rem is not None:
+            y = y + block_ell_matvec(rem, v)
+        return y
+
+    return matvec

@@ -397,6 +397,60 @@ def test_block_dia_direct_assembly_matches_csr_route(rng):
     )
 
 
+def test_block_dia_plan_cache_is_tracer_safe(rng):
+    """First-touching the lazy plan caches under a trace must not poison them.
+
+    Round-3 regression: bench.py first called assemble_hessian_block_dia
+    inside a jitted fori_loop body; block_dia_plan/block_dia_expand_plan
+    cached tracer-backed arrays, and every later eager call raised
+    UnexpectedTracerError.  The caches now build plans under
+    jax.ensure_compile_time_eval(), so a jit-first call sequence caches
+    concrete arrays and the eager result matches.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+    from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+
+    mesh = create_unit_box_uniform_hex_mesh_3d(3)
+    model = HyperelasticModel(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.0, lam=577.0),
+    )
+    u = jnp.asarray(rng.standard_normal(model.space.num_dofs) * 0.01)
+
+    # plans are untouched: the first build happens under the jit trace,
+    # inside a fori_loop body exactly like the round-3 bench
+    assert getattr(model, "_dia_plans", None) is None
+
+    @jax.jit
+    def traced(u):
+        def body(i, uu):
+            m = model.assemble_hessian_block_dia(uu)
+            return uu + 1e-20 * m.bands[0, :3].sum()
+
+        return jax.lax.fori_loop(0, 2, body, u)
+
+    _ = traced(u)
+    # cached plan leaves must be concrete, never tracers
+    for plan in model._dia_plans.values():
+        for leaf in jax.tree_util.tree_leaves(plan):
+            assert not isinstance(leaf, jax.core.Tracer)
+    # ... and the subsequent EAGER call (what raised in round 3) works
+    m_eager = model.assemble_hessian_block_dia(u)
+    m_fresh = HyperelasticModel(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.0, lam=577.0),
+    ).assemble_hessian_block_dia(u)
+    np.testing.assert_allclose(
+        np.asarray(m_eager.bands), np.asarray(m_fresh.bands), rtol=1e-13, atol=1e-13
+    )
+
+
 def test_block_dia_direct_assembly_remainder(rng):
     """Direct assembly with capped diagonals: ELL spill stays exact.
 
