@@ -21,6 +21,16 @@ import numpy as np
 
 from .polymesh import PolyMesh
 from .polygon import ClosestEdge, ConvexPolygon, SimplePolygon2d, SimplePolygon3d
+from .polyhedron import (
+    ConvexPolyhedron,
+    Hexahedron,
+    Polygon3d,
+    PolygonClosestPoint,
+    Quad2d,
+    Quad3d,
+    SignedDistanceResult,
+    compute_polyhedron_volume_from_faces,
+)
 from .primitives import (
     Disk,
     HalfPlane,
@@ -58,7 +68,54 @@ __all__ = [
     "SimplePolygon2d",
     "SimplePolygon3d",
     "ConvexPolygon",
+    # convex polyhedra (lib.rs:393-648, primitives/quad.rs, hexahedron.rs)
+    "Polygon3d",
+    "PolygonClosestPoint",
+    "Quad2d",
+    "Quad3d",
+    "ConvexPolyhedron",
+    "Hexahedron",
+    "SignedDistanceResult",
+    "compute_polyhedron_volume_from_faces",
+    # util (util.rs)
+    "compute_orthonormal_vectors_3d",
+    "slices_are_equal_shift_invariant",
 ]
+
+
+# ---------------------------------------------------------------------------
+# util (fenris-geometry/src/util.rs)
+# ---------------------------------------------------------------------------
+
+
+def compute_orthonormal_vectors_3d(normal) -> Tuple[np.ndarray, np.ndarray]:
+    """Two unit vectors completing ``normal`` to an orthonormal frame
+    (util.rs:5-20; the branchless Pixar "Building an Orthonormal Basis,
+    Revisited" construction).  Vectorized: ``normal`` may be [..., 3]."""
+    v = np.asarray(normal, dtype=np.float64)
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    sign = np.copysign(1.0, z)
+    a = -1.0 / (sign + z)
+    b = x * y * a
+    t1 = np.stack([1.0 + sign * x * x * a, sign * b, -sign * x], axis=-1)
+    t2 = np.stack([b, sign + y * y * a, -y], axis=-1)
+    return t1, t2
+
+
+def slices_are_equal_shift_invariant(x, y, comparator=None) -> bool:
+    """True if some cyclic shift of ``x`` matches ``y`` elementwise
+    (util.rs:26-46)."""
+    if comparator is None:
+        comparator = lambda a, b: bool(np.all(a == b))
+    n = len(x)
+    if len(y) != n:
+        return False
+    if n == 0:
+        return True
+    for start in range(n):
+        if all(comparator(x[(j + start) % n], y[j]) for j in range(n)):
+            return True
+    return False
 
 
 # ---------------------------------------------------------------------------

@@ -149,11 +149,18 @@ class PolyMesh:
                     tets.append(tet)
         return Mesh(np.asarray(verts), np.asarray(tets, dtype=np.int32), ELEMENTS["tet4"])
 
-    def export_vtu(self, path) -> None:
-        """Export as a triangulated tet mesh (fenris-geometry/src/vtkio.rs)."""
-        from ..io.vtk import write_vtu
+    def export_vtu(self, path, *, polygonal: bool = True) -> None:
+        """Export the mesh's faces as true VTK_POLYGON cells
+        (fenris-geometry/src/vtkio.rs:139-158 polygon topology);
+        ``polygonal=False`` writes the tetrahedralized volume instead."""
+        if polygonal:
+            from ..io.vtk import write_vtu_polygons
 
-        write_vtu(path, self.triangulate())
+            write_vtu_polygons(path, self.vertices, self.faces)
+        else:
+            from ..io.vtk import write_vtu
+
+            write_vtu(path, self.triangulate())
 
     # -- clipping -----------------------------------------------------------
 
@@ -262,9 +269,16 @@ class PolyMesh:
         ]
         return PolyMesh(final_vertices, final_faces, final_cells)
 
-    def intersect_convex_polyhedron(self, half_spaces) -> "PolyMesh":
-        """Clip against a convex region given by its (outward) half-spaces
-        (polymesh.rs:564: iterated half-space clips)."""
+    def intersect_convex_polyhedron(self, polyhedron) -> "PolyMesh":
+        """Clip against a convex region (polymesh.rs:564: iterated
+        half-space clips).  Accepts a
+        :class:`~fenris_tpu.geometry.polyhedron.ConvexPolyhedron` (e.g. a
+        ``Hexahedron``) or a raw iterable of outward half-spaces."""
+        half_spaces = getattr(polyhedron, "half_spaces", None)
+        if callable(half_spaces):
+            half_spaces = half_spaces()
+        else:
+            half_spaces = polyhedron
         mesh = self
         for hs in half_spaces:
             mesh = mesh.intersect_half_space(hs)

@@ -126,6 +126,74 @@ def write_vtu(
     path.write_text(xml)
 
 
+def write_vtu_polygons(
+    path,
+    vertices: np.ndarray,
+    faces,
+    cell_data: Optional[Dict[str, np.ndarray]] = None,
+) -> None:
+    """Write variable-arity polygonal faces as true VTK_POLYGON cells.
+
+    Parity: the reference's PolyMesh -> VTK export keeps faces as
+    polygons rather than triangulating (fenris-geometry/src/vtkio.rs:
+    139-158, the ``N, i_1..i_N`` polygon topology).  XML VTU expresses
+    the same via per-cell offsets with cell type 7 (VTK_POLYGON).
+    """
+    vertices = np.asarray(vertices, dtype=np.float64)
+    pts3 = np.zeros((len(vertices), 3))
+    pts3[:, : vertices.shape[1]] = vertices
+    conn = np.concatenate([np.asarray(f, dtype=np.int64) for f in faces]) if faces else np.zeros(0, np.int64)
+    offsets = np.cumsum([len(f) for f in faces]).astype(np.int64)
+    types = np.full(len(faces), 7, dtype=np.uint8)
+
+    def data_arrays(data: Optional[Dict[str, np.ndarray]], n_expected: int) -> str:
+        out = []
+        for name, arr in (data or {}).items():
+            arr = np.asarray(arr)
+            if arr.ndim == 1:
+                arr = arr[:, None]
+            assert arr.shape[0] == n_expected, (name, arr.shape, n_expected)
+            out.append(
+                f'<DataArray type="Float64" Name="{name}" '
+                f'NumberOfComponents="{arr.shape[1]}" format="ascii">\n'
+                f"{_fmt_array(arr)}\n</DataArray>"
+            )
+        return "\n".join(out)
+
+    xml = f"""<?xml version="1.0"?>
+<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian">
+<UnstructuredGrid>
+<Piece NumberOfPoints="{len(vertices)}" NumberOfCells="{len(faces)}">
+<Points>
+<DataArray type="Float64" NumberOfComponents="3" format="ascii">
+{_fmt_array(pts3)}
+</DataArray>
+</Points>
+<Cells>
+<DataArray type="Int64" Name="connectivity" format="ascii">
+{_fmt_array(conn[:, None]) if conn.size else ""}
+</DataArray>
+<DataArray type="Int64" Name="offsets" format="ascii">
+{_fmt_array(offsets[:, None]) if offsets.size else ""}
+</DataArray>
+<DataArray type="UInt8" Name="types" format="ascii">
+{_fmt_array(types[:, None]) if types.size else ""}
+</DataArray>
+</Cells>
+<PointData>
+</PointData>
+<CellData>
+{data_arrays(cell_data, len(faces))}
+</CellData>
+</Piece>
+</UnstructuredGrid>
+</VTKFile>
+"""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(xml)
+
+
 @dataclass
 class FiniteElementMeshDataSetBuilder:
     """Builder-style VTU exporter (vtk.rs:311).
