@@ -196,15 +196,31 @@ def bench_assembled_newton(res: int = 63):
         return u + 1e-20 * m.bands[0, :3].sum()
 
     t_asm = device_loop_time(assemble_once, u0, 2)
-    hvp, _ = model.assembled_hessian_operator(u0)
-    v0 = jnp.ones(model.space.num_dofs, jnp.float32)
 
-    def apply_step(v):
-        return hvp(v) * 1e-6 + v * 0.999
+    # the production CG form: component-major [s, N] through the Pallas
+    # band sweep (solve(assembled=True) wraps CG exactly like this); the
+    # packed bands enter as jit arguments, as hoist_closure arranges in
+    # the real solver (closure-constant bands would embed a ~250MB HLO
+    # literal -> compiler 413s / slow-path)
+    from fenris_tpu.sparse.dia_kernel import pack_block_dia, packed_dia_matvec_cm
+
+    m0 = model.assemble_hessian_block_dia(u0)
+    packed = pack_block_dia(m0)
+    N = mesh.num_vertices
+    free2 = model.free_mask.reshape(N, 3).T
+    x2_0 = jnp.ones((3, N), jnp.float32)
+
+    def apply_step(x2, bands_k, free2):
+        p = packed._replace(bands_k=bands_k)
+        vm = jnp.where(free2, x2, 0.0)
+        y = jnp.where(free2, packed_dia_matvec_cm(p, vm), x2)
+        return y * 1e-6 + x2 * 0.999
 
     # band SpMV is ~ms-scale: chain enough iterations that the empty
     # round-trip subtraction in device_loop_time stays in the noise
-    t_apply = device_loop_time(apply_step, v0, 100)
+    t_apply = device_loop_time(
+        apply_step, x2_0, 100, operands=(packed.bands_k, free2)
+    )
 
     def mf_step(v):
         return model.hessian_vector_product(u0, v) * 1e-6 + v * 0.999
@@ -291,6 +307,25 @@ def bench_spmv(res: int = 69):
         block_dia_diagonals=dia.num_diagonals,
         hbm_fraction_dia=round(bytes_eff / dt_dia / 1e9 / V5E_HBM_GBPS, 3),
     )
+    # the production CG path: fused Pallas band sweep over component-major
+    # [s, N] vectors (sparse/dia_kernel.py) — node-major [N, s] views tile
+    # their minor dim to 128 lanes (~42x amplified), so the kernel is only
+    # fast in this layout
+    from fenris_tpu.sparse.dia_kernel import pack_block_dia, packed_dia_matvec_cm
+
+    packed = pack_block_dia(dia)
+    x2_0 = jnp.ones((dia.solution_dim, dia.num_nodes), jnp.float32)
+
+    def dia_cm_step(x2, bands_k):
+        p = packed._replace(bands_k=bands_k)
+        return x2 * 0.999 + 1e-12 * packed_dia_matvec_cm(p, x2)
+
+    dt_cm = device_loop_time(dia_cm_step, x2_0, 20, operands=(packed.bands_k,))
+    out.update(
+        dia_pallas_ms=round(dt_cm * 1e3, 3),
+        dia_pallas_gbps=round(bytes_eff / dt_cm / 1e9, 2),
+        hbm_fraction_dia_pallas=round(bytes_eff / dt_cm / 1e9 / V5E_HBM_GBPS, 3),
+    )
     dt_ell = device_loop_time(ell_step, v0, 10, operands=(ell.neighbors, ell.blocks))
     out.update(
         block_ell_ms=round(dt_ell * 1e3, 3),
@@ -309,6 +344,49 @@ def bench_spmv(res: int = 69):
     except Exception as e:
         out["csr_error"] = _err(e)
     return out
+
+
+def bench_spmv_pallas_10m(res: int = 149):
+    """10M-dof block-DIA band-sweep SpMV (BASELINE.md:46 at the 10M end).
+
+    The bands are synthesized (random f32) — SpMV bandwidth is
+    value-independent, and assembling a real 10M-dof CSR on the 1-core
+    host takes minutes the bench budget doesn't have; the structured
+    27-offset layout matches what assemble_hessian_block_dia produces on
+    a lexicographic hex mesh at this size.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fenris_tpu.sparse.block_dia import BlockDiaMatrix
+    from fenris_tpu.sparse.dia_kernel import pack_block_dia, packed_dia_matvec_cm
+
+    nx = res + 1
+    N = nx**3
+    s = 3
+    offs = tuple(
+        sorted(a + nx * b + nx * nx * c for a in (-1, 0, 1) for b in (-1, 0, 1) for c in (-1, 0, 1))
+    )
+    key = jax.random.PRNGKey(0)
+    bands = jax.random.normal(key, (len(offs) * s * s, N), jnp.float32)
+    packed = pack_block_dia(BlockDiaMatrix(offs, bands, N, s, None))
+    del bands  # keep only the packed copy (~3.9 GB at res=149)
+    x2_0 = jnp.ones((s, N), jnp.float32)
+
+    def step(x2, bands_k):
+        p = packed._replace(bands_k=bands_k)
+        return x2 * 0.999 + 1e-12 * packed_dia_matvec_cm(p, x2)
+
+    dt = device_loop_time(step, x2_0, 20, operands=(packed.bands_k,))
+    nnz = len(offs) * s * s * N
+    bytes_eff = 8.0 * nnz + 8.0 * N * s
+    return {
+        "dofs": N * s,
+        "nnz": nnz,
+        "dia_pallas_ms": round(dt * 1e3, 3),
+        "dia_pallas_gbps": round(bytes_eff / dt / 1e9, 2),
+        "hbm_fraction_dia_pallas": round(bytes_eff / dt / 1e9 / V5E_HBM_GBPS, 3),
+    }
 
 
 def main() -> None:
@@ -417,6 +495,10 @@ def main() -> None:
     except Exception as e:
         assembled_detail = {"error": _err(e)}
     try:
+        spmv_10m_detail = bench_spmv_pallas_10m()
+    except Exception as e:
+        spmv_10m_detail = {"error": _err(e)}
+    try:
         roofline_detail = bench_element_stiffness_roofline()
     except Exception as e:
         roofline_detail = {"error": _err(e)}
@@ -443,6 +525,7 @@ def main() -> None:
                     "unstructured_banded": unstructured,
                     "assembled_newton": assembled_detail,
                     "spmv": spmv_detail,
+                    "spmv_pallas_10m": spmv_10m_detail,
                     "element_stiffness_roofline": roofline_detail,
                     "baseline": "unstructured per-element gather/scatter path (reference-design translation), 1.3M el/s on this chip",
                     "device": str(jax.devices()[0]),

@@ -464,21 +464,38 @@ def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation):
         np.einsum("qna,qpb->abqnp", dphi, dphi).reshape(d * d * q, n * n),
         dtype=dtype,
     )
-    # per (i, j): lhs [(a,b,q), E] consumed as-produced; M = E on the MXU
+    # per (i, j): lhs [(a,b,q), E] consumed as-produced; M = E on the MXU.
+    # For symmetric operators the integrand has major symmetry
+    # (Ft[a,i,b,j] = Ft[b,j,a,i] — it is a second derivative), so the
+    # (j, i) block is the (i, j) block transposed up to the symmetry
+    # defect of the pointwise tangent D: compute only i <= j (6 of 9
+    # matmuls at s=3), average the Ft pair to project out that defect,
+    # and mirror — same integrals, exactly symmetric A by construction,
+    # one third fewer MXU flops.
     pieces = [[None] * s for _ in range(s)]
     for i in range(s):
         for j in range(s):
-            lhs = jnp.stack(
-                [ft[a][i][b][j] for a in range(d) for b in range(d)], 0
-            ).reshape(d * d * q, E)
+            if op.symmetric and j < i:
+                continue
+            if op.symmetric:
+                rows = [
+                    0.5 * (ft[a][i][b][j] + ft[b][j][a][i])
+                    for a in range(d)
+                    for b in range(d)
+                ]
+            else:
+                rows = [ft[a][i][b][j] for a in range(d) for b in range(d)]
+            lhs = jnp.stack(rows, 0).reshape(d * d * q, E)
             pieces[i][j] = _einsum("ke,kn->en", lhs, Wc).reshape(E, n, n)
     if op.symmetric:
         sym = [[None] * s for _ in range(s)]
         for i in range(s):
-            for j in range(s):
-                sym[i][j] = 0.5 * (
-                    pieces[i][j] + jnp.transpose(pieces[j][i], (0, 2, 1))
-                )
+            sym[i][i] = 0.5 * (
+                pieces[i][i] + jnp.transpose(pieces[i][i], (0, 2, 1))
+            )
+            for j in range(i + 1, s):
+                sym[i][j] = pieces[i][j]
+                sym[j][i] = jnp.transpose(pieces[i][j], (0, 2, 1))
         pieces = sym
     A2 = jnp.stack([jnp.stack(row, 0) for row in pieces], 0)  # [s, s, E, n, n]
     return jnp.transpose(A2, (2, 3, 0, 4, 1)).reshape(E, n * s, n * s)

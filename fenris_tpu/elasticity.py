@@ -387,8 +387,9 @@ class HyperelasticModel:
         return out
 
     def _assemble_external_forces(self):
+        dtype = self.space.X_geo.dtype
         if self.body_force is None:
-            return jnp.zeros(self.space.num_dofs, dtype=self.space.X_geo.dtype)
+            return jnp.zeros(self.space.num_dofs, dtype=dtype)
         if self._plan is not None:
             from .ops import banded as B
 
@@ -397,12 +398,18 @@ class HyperelasticModel:
             b_el = L.assemble_element_source_vectors(
                 self._Xg_band, self.body_force, None, s, self.tab
             )
-            b_el = b_el * self._valid_el[:, None]
+            # pin to the model dtype: a user body_force returning a
+            # default-precision array (f64 under x64) would otherwise
+            # promote the residual of an f32 model, and downstream
+            # assembly/CG mixes f32 operators with f64 vectors
+            b_el = b_el.astype(dtype) * self._valid_el[:, None]
             return B.scatter_add(self._plan, b_el.reshape(pe, n, s)).reshape(-1)
         b_el = L.assemble_element_source_vectors(
             self.space.X_geo, self.body_force, None, self.mesh.dim, self.tab
         )
-        return G.assemble_vector(b_el, self.space.dofs, self.space.num_dofs)
+        return G.assemble_vector(
+            b_el.astype(dtype), self.space.dofs, self.space.num_dofs
+        )
 
     def energy(self, u):
         """Total potential energy E(u) = ∫ψ(∇u) - f_ext·u."""
@@ -740,7 +747,14 @@ class HyperelasticModel:
             plan, A_el, num_chunks=num_chunks, expand=expand
         )
 
-    def assembled_hessian_operator(self, u, max_diagonals=None, min_fill: float = 0.0):
+    def assembled_hessian_operator(
+        self,
+        u,
+        max_diagonals=None,
+        min_fill: float = 0.0,
+        layout: str = "dof",
+        pallas="auto",
+    ):
         """(hvp, inv_diag) from one assembled block-DIA Hessian.
 
         The per-CG-iteration cost drops from a full nonlinear element
@@ -748,15 +762,39 @@ class HyperelasticModel:
         hex8); the assembly runs once per Newton iterate and amortizes
         over the CG iterations.  The Jacobi diagonal reads straight off
         the zero-offset band.
+
+        ``layout="component"`` returns the operator over ``[s, N]``
+        component-major arrays driven by the fused Pallas band sweep
+        (:func:`~fenris_tpu.sparse.dia_kernel.block_dia_operator`) — the
+        TPU fast form (402 GB/s effective vs 28 GB/s node-major at 1M
+        dofs, v5e: node-major ``[N, s]`` views tile their minor dim to
+        128 lanes, ~42x amplified).  Solvers convert the rhs/solution at
+        CG entry/exit only.
         """
         m = self.assemble_hessian_block_dia(u, max_diagonals, min_fill)
         s = m.solution_dim
         d0 = m.offsets.index(0)
+        free = self.free_mask
+        if layout == "component":
+            from .sparse.dia_kernel import block_dia_operator
+
+            N = m.num_nodes
+            diag2 = jnp.stack(
+                [m.bands[(d0 * s + i) * s + i] for i in range(s)], axis=0
+            )  # [s, N]
+            free2 = free.reshape(N, s).T
+            inv_diag2 = 1.0 / jnp.where(free2 & (diag2 != 0.0), diag2, 1.0)
+            mv = block_dia_operator(m, layout="component", pallas=pallas)
+
+            def hvp_cm(v2):
+                vm = jnp.where(free2, v2, 0.0)
+                return jnp.where(free2, mv(vm), v2)
+
+            return hvp_cm, inv_diag2
         diag = jnp.stack(
             [m.bands[(d0 * s + i) * s + i] for i in range(s)], axis=1
         ).reshape(-1)
         inv_diag = 1.0 / jnp.where(self.free_mask & (diag != 0.0), diag, 1.0)
-        free = self.free_mask
 
         def hvp(v):
             vm = jnp.where(free, v, 0.0)
@@ -810,7 +848,40 @@ class HyperelasticModel:
             self.block_dia_plan(dia_max_diagonals, dia_min_fill)
             self.block_dia_expand_plan(dia_max_diagonals, dia_min_fill)
 
+        # component-major CG (the Pallas band-sweep fast form) requires a
+        # layout-agnostic preconditioner; custom preconditioners (e.g. MG)
+        # operate on node-major flat vectors, so they keep that layout
+        use_cm = assembled and preconditioner is None
+
+        # solve() fuses assembly + CG into ONE XLA program (the hoisted
+        # solve_jacobian).  Embedding the Pallas band sweep in that giant
+        # program compiled fine at 27k dofs but sat >30 min in the remote
+        # compiler at 750k (round 4; possibly a wedged worker, never
+        # reproduced bounded) — and the kernel only pays off when many CG
+        # iterations amortize it, i.e. at scale, where production runs go
+        # through solve_mixed's host-loop CG (operator = own small
+        # program).  Keep the fused program on the XLA cm matvec.
+        fused_pallas = False
+
         def solve_jacobian(u, f):
+            if assembled and use_cm:
+                hvp2, inv_diag2 = self.assembled_hessian_operator(
+                    u,
+                    dia_max_diagonals,
+                    dia_min_fill,
+                    layout="component",
+                    pallas=fused_pallas,
+                )
+                f2 = f.reshape(-1, inv_diag2.shape[0]).T
+                res = conjugate_gradient(
+                    hvp2,
+                    f2,
+                    preconditioner=lambda v: inv_diag2 * v,
+                    rel_tolerance=cg_rel_tolerance,
+                    max_iter=cg_max_iter,
+                    check_definiteness=False,
+                )
+                return res.x.T.reshape(-1)
             if assembled:
                 hvp, inv_diag = self.assembled_hessian_operator(
                     u, dia_max_diagonals, dia_min_fill
@@ -902,9 +973,21 @@ class HyperelasticModel:
         from .optimize import mixed_precision_newton
 
         # f64 twin on the plain XLA sweep (banded/fused kernels are
-        # f32-only); evaluated once per line-search trial.
+        # f32-only); evaluated once per line-search trial.  The twin must
+        # chunk much earlier than the f32 auto-heuristic: the unchunked
+        # standard-layout sweep's [E, q, n, d] intermediates lane-pad
+        # d=3 -> 128 (42x), which in f64 is 28 GB at 238k hex8 — observed
+        # XLA:TPU hbm OOM (round 4, res=62; the 260k auto-chunk threshold
+        # is dtype-blind and never triggers there).
+        chunk64 = self.chunk_size
+        if self.mesh.num_cells > 32768:
+            chunk64 = min(chunk64 or 32768, 32768)
         model64 = replace(
-            self, dtype=jnp.float64, banded=False, fused_kernels=False
+            self,
+            dtype=jnp.float64,
+            banded=False,
+            fused_kernels=False,
+            chunk_size=chunk64,
         )
         # probe scale ~1% of an element edge (displacement-like magnitude)
         pts = np.asarray(self.mesh.points)
@@ -932,7 +1015,40 @@ class HyperelasticModel:
             self.block_dia_plan(dia_max_diagonals, dia_min_fill)
             self.block_dia_expand_plan(dia_max_diagonals, dia_min_fill)
 
+        # component-major fast form (see solve()): Jacobi-preconditioned
+        # assembled CG runs on [s, N] arrays through the Pallas band sweep
+        use_cm = assembled and preconditioner is None
+
         def inner_solve(k, u32, f32):
+            if assembled and use_cm:
+                # the Pallas band sweep hangs the remote compiler when
+                # embedded in a jitted CG while_loop (see solve()); only
+                # the host-loop CG may use it (operator = own program)
+                hvp2, inv_diag2 = self.assembled_hessian_operator(
+                    u32,
+                    dia_max_diagonals,
+                    dia_min_fill,
+                    layout="component",
+                    pallas="auto" if cg_host_loop else False,
+                )
+                f2 = f32.reshape(-1, inv_diag2.shape[0]).T
+                cg = conjugate_gradient(
+                    hvp2,
+                    f2,
+                    preconditioner=lambda v: inv_diag2 * v,
+                    rel_tolerance=cg_rel_tolerance,
+                    max_iter=cg_max_iter,
+                    check_definiteness=False,
+                    host_loop=bool(cg_host_loop),
+                    validate_operator=bool(cg_host_loop) and k == 1,
+                )
+                if verbose:
+                    print(
+                        f"[solve_mixed it {k}] cg iters={int(cg.num_iterations)} "
+                        f"status={int(cg.status)} |r|={float(cg.residual_norm):.3e}",
+                        flush=True,
+                    )
+                return cg.x.T.reshape(-1)
             if assembled:
                 hvp, inv_diag = self.assembled_hessian_operator(
                     u32, dia_max_diagonals, dia_min_fill

@@ -28,15 +28,14 @@ value-carry fori are far worse); scoped-VMEM default of 16MB overflows
 at 69.7MB, raised via ``vmem_limit_bytes``.  The production unstructured
 path remains banded gather/scatter + the scanned XLA element-minor sweep
 until compile times are tolerable; opt in per deployment where a 25-min
-warmup amortizes.  The traced-``jax.jvp`` tangent kernel
-(:func:`em_vector_jvp_sweep`) exceeds physical VMEM (168MB live
-temporaries vs 128MB on v5e; 8x128 elements is already the minimal f32
-tile) and stays guarded off on TPU; its replacement is
-:func:`em_vector_tangent_sweep`, which uses the materials' closed-form
-``g_tangent`` (e.g. Neo-Hookean cofactor identities,
-solid/__init__.py) for a VMEM-sized live set — the same route that made
-the structured stencil hvp kernel production
-(:mod:`.structured_stencil`).
+warmup amortizes.  The tangent sweep is
+:func:`em_vector_tangent_sweep`, using the materials' closed-form
+``g_tangent`` (e.g. Neo-Hookean cofactor identities, solid/__init__.py)
+for a VMEM-sized live set — the same route that made the structured
+stencil hvp kernel production (:mod:`.structured_stencil`).  (A
+traced-``jax.jvp`` tangent kernel was removed in round 4: pairing a
+tangent with every primal intermediate needed 168MB live vs 128MB
+physical VMEM on v5e and could never compile.)
 """
 
 from __future__ import annotations
@@ -52,7 +51,6 @@ from ..assembly.local import Tabulation
 
 __all__ = [
     "em_vector_sweep",
-    "em_vector_jvp_sweep",
     "em_vector_tangent_sweep",
     "supports",
 ]
@@ -159,41 +157,14 @@ def _vector_kernel(op, rebuild, npar, tab, gd_ref, dp_ref, w_ref, x_ref, u_ref, 
     jax.lax.fori_loop(0, q, body, 0)
 
 
-def _vector_jvp_kernel(
-    op, rebuild, npar, tab, gd_ref, dp_ref, w_ref, x_ref, u_ref, v_ref, *rest
-):
-    import jax.experimental.pallas as pl
-
-    p_refs, o_ref = rest[:npar], rest[npar]
-    params = rebuild([r[0] for r in p_refs])
-    X_em = x_ref[:, :, 0]
-    u_em = u_ref[:, :, 0]
-    v_em = v_ref[:, :, 0]
-    q = gd_ref.shape[0]
-    o_ref[:, :, 0] = u_em * jnp.zeros((), jnp.float32)
-
-    def body(i, _):
-        gd = gd_ref[pl.ds(i, 1)][0]
-        dp = dp_ref[pl.ds(i, 1)][0]
-        w = w_ref[pl.ds(i, 1)][0, 0]
-        _, dc = jax.jvp(
-            lambda uu: LE.elliptic_vector_qp(X_em, uu, op, params, gd, dp, w),
-            (u_em,),
-            (v_em,),
-        )
-        o_ref[:, :, 0] += dc
-        return 0
-
-    jax.lax.fori_loop(0, q, body, 0)
-
-
 def _vector_tangent_kernel(
     op, rebuild, npar, tab, gd_ref, dp_ref, w_ref, x_ref, u_ref, v_ref, *rest
 ):
-    """Closed-form tangent sweep (VERDICT r1 route (b)): the live set is a
-    single tangent-stress evaluation per point — no traced-jvp pairing of
-    every primal intermediate, which is what blew physical VMEM in the
-    :func:`_vector_jvp_kernel` variant."""
+    """Closed-form tangent sweep: the live set is a single tangent-stress
+    evaluation per point.  A traced-``jax.jvp`` variant of this kernel
+    (removed in round 4) paired a tangent with every primal intermediate
+    and exceeded physical VMEM on v5e (168 MB live vs 128 MB); the
+    closed-form ``elliptic_vector_tangent_qp`` body is the fix."""
     import jax.experimental.pallas as pl
 
     p_refs, o_ref = rest[:npar], rest[npar]
@@ -277,47 +248,16 @@ def em_vector_sweep(X_em, u_em, op, params, tab: Tabulation):
     return _unpad_tiles(out, E)
 
 
-def em_vector_jvp_sweep(X_em, u_em, v_em, op, params, tab: Tabulation):
-    """Tangent sweep df = (d/du f)(u)[v] in one fused kernel.
-
-    Interpreter-validated only: the traced-``jax.jvp`` body exceeds
-    physical VMEM on v5e (168 MB live vs 128 MB) and cannot compile, so
-    the compiled TPU path is guarded off — use the closed-form tangent
-    kernel (:func:`..structured_stencil.neo_hookean_hvp_pallas`) on the
-    structured path, or the XLA element sweeps.
-    """
-    if jax.default_backend() == "tpu":
-        raise NotImplementedError(
-            "em_vector_jvp_sweep exceeds v5e VMEM when compiled; see docstring"
-        )
-    E = X_em.shape[-1]
-    n, s = u_em.shape[0], u_em.shape[1]
-    Xt, Et = _pad_tiles(X_em.astype(jnp.float32), E)
-    ut, _ = _pad_tiles(u_em.astype(jnp.float32), E)
-    vt, _ = _pad_tiles(v_em.astype(jnp.float32), E)
-    ptiles, rebuild = _prep_params(params, E)
-    out = _call(
-        partial(_vector_jvp_kernel, op, rebuild, len(ptiles), tab),
-        n,
-        s,
-        tab,
-        (Xt, ut, vt, *ptiles),
-        Et,
-    )
-    return _unpad_tiles(out, E)
-
-
 def em_vector_tangent_sweep(X_em, u_em, v_em, op, params, tab: Tabulation):
     """Fused Hessian-action sweep df = (∂f/∂u)[v] with closed-form tangents.
 
-    The production-candidate replacement for :func:`em_vector_jvp_sweep`:
-    the kernel body calls the operator's ``g_tangent`` (closed-form
+    The kernel body calls the operator's ``g_tangent`` (closed-form
     material tangent stress, e.g. the Neo-Hookean cofactor identities)
-    instead of tracing ``jax.jvp`` of the primal — the traced variant's
-    per-intermediate tangent pairing is what exceeded physical VMEM on
-    v5e (168 MB vs 128 MB).  Interpreter-exact vs the XLA tangent sweep
-    (tests/test_em_kernel.py); compiled-path status tracked in the module
-    docstring.
+    instead of tracing ``jax.jvp`` of the primal — a traced variant's
+    per-intermediate tangent pairing exceeded physical VMEM on v5e
+    (168 MB vs 128 MB) and was removed.  Interpreter-exact vs the XLA
+    tangent sweep (tests/test_em_kernel.py); compiled-path status tracked
+    in the module docstring.
     """
     E = X_em.shape[-1]
     n, s = u_em.shape[0], u_em.shape[1]

@@ -546,6 +546,35 @@ def _scatter_dia_impl(A_el, base, total: int, s: int, N: int, num_chunks: int):
     return out[:total]
 
 
+def block_dia_matvec_cm(m: BlockDiaMatrix, x2):
+    """Component-major matvec: ``x2 [s, N] -> y2 [s, N]``.
+
+    Identical FMAs and summation order as :func:`block_dia_matvec`, with
+    the vector in component-major layout: the per-band shifted reads are
+    pure lane slices of ``[s, N]`` rows instead of column views of an
+    ``[N, s]`` array (whose minor dim tiles to 128 lanes — the ~42x
+    amplification that made node-major shifts dominate the band-sweep
+    step on TPU; see sparse/dia_kernel.py).
+    """
+    from .block_ell import block_ell_matvec_cm
+
+    s, N = m.solution_dim, m.num_nodes
+    offsets = m.offsets
+    lo = max(0, -min(offsets)) if offsets else 0
+    hi = max(0, max(offsets)) if offsets else 0
+    xp = jnp.pad(x2, ((0, 0), (lo, hi)))
+    y = [jnp.zeros(N, x2.dtype) for _ in range(s)]
+    for d, o in enumerate(offsets):
+        for j in range(s):
+            xs = jax.lax.slice_in_dim(xp[j], lo + o, lo + o + N)
+            for i in range(s):
+                y[i] = y[i] + m.bands[(d * s + i) * s + j] * xs
+    out = jnp.stack(y, axis=0)
+    if m.remainder is not None:
+        out = out + block_ell_matvec_cm(m.remainder, x2)
+    return out
+
+
 def block_dia_matvec(m: BlockDiaMatrix, v):
     """y = A x as D*s*s full-lane FMAs over statically shifted x slices."""
     s, N = m.solution_dim, m.num_nodes

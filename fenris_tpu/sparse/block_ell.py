@@ -106,6 +106,26 @@ def _gather_blocks(values, idx, N: int, K: int, s: int):
     return padded[idx].reshape(K * s * s, N)
 
 
+def block_ell_matvec_cm(m: BlockEllMatrix, x2):
+    """Component-major matvec: ``x2 [s, N] -> y2 [s, N]``.
+
+    Same FMAs as :func:`block_ell_matvec` but with the vector kept in
+    component-major layout — no ``[N, s]`` views whose minor dim tiles to
+    128 lanes (the ~42x-padded transpose that dominated the node-major
+    band-sweep step; see sparse/dia_kernel.py).
+    """
+    s, N, K = m.solution_dim, m.num_nodes, m.neighbors.shape[0]
+    x_pad = jnp.pad(x2, ((0, 0), (0, 1)))  # index N -> zero slot
+    y = [jnp.zeros(N, x2.dtype) for _ in range(s)]
+    for k in range(K):
+        nb = m.neighbors[k]  # [N]
+        for j in range(s):
+            xg = jnp.take(x_pad[j], nb, axis=0)
+            for i in range(s):
+                y[i] = y[i] + m.blocks[(k * s + i) * s + j] * xg
+    return jnp.stack(y, axis=0)
+
+
 def block_ell_matvec(m: BlockEllMatrix, v):
     """y = A x: s*K full-lane gathers + unrolled full-lane multiply-adds.
 

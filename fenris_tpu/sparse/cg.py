@@ -100,8 +100,8 @@ def conjugate_gradient(
     """
     A = _as_operator(operator)
     M = _as_operator(preconditioner) if preconditioner is not None else None
-    b = jnp.asarray(rhs)
-    n = b.shape[0]
+    b = jnp.asarray(rhs)  # any shape — CG is elementwise + vdot/norm
+    n = b.size
     if x0 is None:
         x0 = jnp.zeros_like(b)
     if max_iter is None:

@@ -46,7 +46,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .block_dia import BlockDiaMatrix, block_dia_matvec
 from .block_ell import block_ell_matvec
 
-__all__ = ["PackedDia", "pack_block_dia", "packed_dia_matvec", "block_dia_operator"]
+__all__ = [
+    "PackedDia",
+    "pack_block_dia",
+    "packed_dia_matvec",
+    "packed_dia_matvec_cm",
+    "block_dia_operator",
+]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -145,8 +151,17 @@ def _sweep_call(bands_k, xs, meta, interpret=False):
     return out
 
 
-def packed_dia_matvec(p: PackedDia, v, *, interpret: bool = False):
-    """y = A x through the fused band-sweep kernel (no remainder)."""
+def packed_dia_matvec_cm(p: PackedDia, x2, *, interpret: bool = False):
+    """Component-major ``y2 [s, N] = A x2 [s, N]`` via the band sweep.
+
+    This is THE fast entry: every stage (pad, the D lane shifts, the
+    kernel, the output slice) stays in ``[rows, N]`` layout with the node
+    axis minor.  The node-major wrapper :func:`packed_dia_matvec` costs
+    two ``[N, s] <-> [s, N]`` transposes whose minor-dim-s tiling is ~42x
+    read/write-amplified on TPU — measured to dominate the whole matvec
+    (23.9 ms vs 1.7 ms at 1M dofs, v5e) — so CG loops must run
+    component-major and convert only at solve entry/exit.
+    """
     s, N = p.solution_dim, p.num_nodes
     dp = p.dp
     npad = p.bands_k.shape[1]
@@ -154,15 +169,23 @@ def packed_dia_matvec(p: PackedDia, v, *, interpret: bool = False):
     D = len(offsets)
     lo = max(0, -min(offsets)) if offsets else 0
     hi = max(0, max(offsets)) if offsets else 0
-    xb = v.reshape(N, s).astype(p.bands_k.dtype)
-    cols = jnp.pad(xb, ((lo, hi), (0, 0))).T  # [s, lo + N + hi]
+    cols = jnp.pad(x2.astype(p.bands_k.dtype), ((0, 0), (lo, hi)))
     shifted = [
         jax.lax.slice_in_dim(cols, lo + o, lo + o + N, axis=1) for o in offsets
     ]
     X = jnp.stack(shifted, axis=1)  # [s, D, N]
     X = jnp.pad(X, ((0, 0), (0, dp - D), (0, npad - N))).reshape(s * dp, npad)
     out = _sweep_call(p.bands_k, X, (s, dp, p.lanes, npad), interpret=interpret)
-    return out[:s, :N].T.reshape(-1).astype(v.dtype)
+    return out[:s, :N].astype(x2.dtype)
+
+
+def packed_dia_matvec(p: PackedDia, v, *, interpret: bool = False):
+    """Node-major y = A x through the fused band-sweep kernel (no
+    remainder).  Convenience wrapper — the two layout transposes here are
+    the TPU slow path; iterate via :func:`packed_dia_matvec_cm`."""
+    s, N = p.solution_dim, p.num_nodes
+    out = packed_dia_matvec_cm(p, v.reshape(N, s).T, interpret=interpret)
+    return out.T.reshape(-1)
 
 
 def _pallas_applicable(m: BlockDiaMatrix) -> bool:
@@ -178,21 +201,45 @@ def _pallas_applicable(m: BlockDiaMatrix) -> bool:
     return rows <= 4096 and m.num_nodes >= 1024
 
 
-def block_dia_operator(m: BlockDiaMatrix, *, pallas="auto", lanes=None):
-    """Return a ``matvec(v)`` closure for ``m``, kernel-accelerated on TPU.
+def block_dia_operator(m: BlockDiaMatrix, *, pallas="auto", lanes=None, layout: str = "dof"):
+    """Return a ``matvec`` closure for ``m``, kernel-accelerated on TPU.
 
     ``pallas="auto"`` picks the fused band-sweep kernel when the backend
     is TPU, the bands are f32, and the diagonal count fits the VMEM
     budget; otherwise (CPU parity mode, f64, tiny or pathological
-    operators) it falls back to the XLA :func:`block_dia_matvec`.  The
-    pack copy runs once here, amortized over every CG iteration that
-    applies the operator.
+    operators) it falls back to the XLA matvec.  The pack copy runs once
+    here, amortized over every CG iteration that applies the operator.
+
+    ``layout="dof"`` (default): node-major flat vectors ``[s*N]``
+    (``dof = s*node + comp``) — two layout transposes per apply on the
+    kernel path.  ``layout="component"``: ``[s, N]`` arrays end-to-end —
+    the fast form; CG is shape-agnostic, so solvers should run
+    component-major and convert at entry/exit only (measured 402 GB/s
+    effective vs 28 GB/s node-major at 1M dofs, v5e).
     """
+    from .block_dia import block_dia_matvec_cm
+
     use = _pallas_applicable(m) if pallas == "auto" else bool(pallas)
+    cm = layout == "component"
+    if layout not in ("dof", "component"):
+        raise ValueError(f"unknown layout {layout!r}")
     if not use:
-        return lambda v: block_dia_matvec(m, v)
+        return (lambda x2: block_dia_matvec_cm(m, x2)) if cm else (
+            lambda v: block_dia_matvec(m, v)
+        )
     packed = pack_block_dia(m, lanes)
     rem = m.remainder
+
+    if cm:
+        from .block_ell import block_ell_matvec_cm
+
+        def matvec_cm(x2):
+            y2 = packed_dia_matvec_cm(packed, x2)
+            if rem is not None:
+                y2 = y2 + block_ell_matvec_cm(rem, x2)
+            return y2
+
+        return matvec_cm
 
     def matvec(v):
         y = packed_dia_matvec(packed, v)

@@ -120,3 +120,73 @@ def test_packed_matvec_under_jit_and_f32(rng):
     ref = np.asarray(block_dia_matvec(m32, v))
     # 243-term f32 sums in a different association order: ~200*eps_f32
     np.testing.assert_allclose(np.asarray(y), ref, rtol=5e-5, atol=5e-4)
+
+
+def test_component_major_matvec_matches(rng):
+    """Component-major entry (the TPU fast form): XLA cm, kernel cm, and
+    the layout="component" operator all agree with the node-major matvec."""
+    from fenris_tpu.sparse.block_dia import block_dia_matvec_cm
+    from fenris_tpu.sparse.dia_kernel import packed_dia_matvec_cm
+
+    model, m = _elasticity_dia(rng)
+    N, s = m.num_nodes, m.solution_dim
+    v = jnp.asarray(rng.standard_normal(model.space.num_dofs))
+    x2 = v.reshape(N, s).T
+    ref = np.asarray(block_dia_matvec(m, v)).reshape(N, s).T
+
+    np.testing.assert_allclose(
+        np.asarray(block_dia_matvec_cm(m, x2)), ref, rtol=1e-12, atol=1e-12
+    )
+    y2 = packed_dia_matvec_cm(pack_block_dia(m), x2, interpret=True)
+    np.testing.assert_allclose(np.asarray(y2), ref, rtol=1e-12, atol=1e-12)
+    mv = block_dia_operator(m, layout="component")  # CPU -> XLA cm fallback
+    np.testing.assert_allclose(np.asarray(mv(x2)), ref, rtol=1e-12, atol=1e-12)
+
+
+def test_component_major_remainder(rng):
+    """Component-major composition includes the block-ELL spill exactly."""
+    from fenris_tpu.sparse.block_dia import block_dia_matvec_cm
+
+    model, m = _elasticity_dia(rng, res=3, max_diagonals=7)
+    assert m.remainder is not None
+    N, s = m.num_nodes, m.solution_dim
+    v = jnp.asarray(rng.standard_normal(model.space.num_dofs))
+    ref = np.asarray(block_dia_matvec(m, v)).reshape(N, s).T
+    y2 = block_dia_matvec_cm(m, v.reshape(N, s).T)
+    np.testing.assert_allclose(np.asarray(y2), ref, rtol=1e-12, atol=1e-12)
+
+
+def test_assembled_operator_component_layout(rng):
+    """assembled_hessian_operator(layout="component") == node-major hvp,
+    including the Dirichlet identity rows; a CG solve through the cm form
+    returns the same solution."""
+    from fenris_tpu.sparse.cg import conjugate_gradient
+
+    model, _ = _elasticity_dia(rng)
+    u = jnp.asarray(rng.standard_normal(model.space.num_dofs) * 0.01)
+    hvp, inv_diag = model.assembled_hessian_operator(u)
+    hvp2, inv_diag2 = model.assembled_hessian_operator(u, layout="component")
+    N = model.mesh.num_vertices
+    s = model.mesh.dim
+    np.testing.assert_allclose(
+        np.asarray(inv_diag2), np.asarray(inv_diag).reshape(N, s).T, rtol=0, atol=0
+    )
+    v = jnp.asarray(rng.standard_normal(model.space.num_dofs))
+    ref = np.asarray(hvp(v)).reshape(N, s).T
+    np.testing.assert_allclose(
+        np.asarray(hvp2(v.reshape(N, s).T)), ref, rtol=1e-12, atol=1e-12
+    )
+
+    f = jnp.asarray(rng.standard_normal(model.space.num_dofs))
+    f = jnp.where(model.free_mask, f, 0.0)
+    x_nm = conjugate_gradient(
+        hvp, f, preconditioner=lambda r: inv_diag * r, rel_tolerance=1e-10,
+        max_iter=500,
+    )
+    x_cm = conjugate_gradient(
+        hvp2, f.reshape(N, s).T, preconditioner=lambda r: inv_diag2 * r,
+        rel_tolerance=1e-10, max_iter=500,
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_cm.x.T.reshape(-1)), np.asarray(x_nm.x), rtol=1e-7, atol=1e-9
+    )

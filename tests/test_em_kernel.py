@@ -13,11 +13,7 @@ from jax.experimental import pallas as pl
 from fenris_tpu.assembly import local as L
 from fenris_tpu.assembly import local_em as LE
 from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
-from fenris_tpu.ops.em_sweep import (
-    em_vector_jvp_sweep,
-    em_vector_sweep,
-    em_vector_tangent_sweep,
-)
+from fenris_tpu.ops.em_sweep import em_vector_sweep, em_vector_tangent_sweep
 from fenris_tpu.quadrature.canonical import canonical_stiffness
 from fenris_tpu.solid import LameParameters, MaterialEllipticOperator, NeoHookeanMaterial
 
@@ -47,15 +43,12 @@ def test_em_kernels_match_xla_sweep(interpret_pallas, rng):
     f_k = np.asarray(em_vector_sweep(X, u, op, params, tab))
     np.testing.assert_allclose(f_k, f_ref, rtol=0, atol=1e-7)
 
+    # closed-form tangent kernel vs the autodiff reference tangent
     _, df_ref = jax.jvp(
         lambda uu: LE.assemble_element_elliptic_vectors_em(X, uu, op, params, tab),
         (u,),
         (v,),
     )
-    df_k = np.asarray(em_vector_jvp_sweep(X, u, v, op, params, tab))
-    np.testing.assert_allclose(df_k, np.asarray(df_ref), rtol=0, atol=1e-5)
-
-    # closed-form tangent kernel (the VMEM-lean production candidate)
     df_t = np.asarray(em_vector_tangent_sweep(X, u, v, op, params, tab))
     np.testing.assert_allclose(df_t, np.asarray(df_ref), rtol=0, atol=1e-5)
 

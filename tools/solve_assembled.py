@@ -9,9 +9,9 @@ inner CG on the streaming band SpMV).  The final residual is re-verified
 in f64 on the host-independent path, and per-iteration telemetry is
 recorded.
 
-Writes artifacts/assembled_solve_r3.json.
+Writes artifacts/assembled_solve_r4.json.
 
-Usage:  python tools/solve_assembled.py [res (default 99)]
+Usage:  python tools/solve_assembled.py [res (default 149)] [tolerance (default 1e-10)]
 """
 
 from __future__ import annotations
@@ -37,7 +37,8 @@ def main() -> None:
     from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
     from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
 
-    res = int(sys.argv[1]) if len(sys.argv) > 1 else 99
+    res = int(sys.argv[1]) if len(sys.argv) > 1 else 149
+    tol = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-10
     t_start = time.perf_counter()
 
     def log(msg):
@@ -59,7 +60,6 @@ def main() -> None:
         f"plan D={plan.num_diagonals} rem_k={plan.rem_k} fill={plan.fill:.3f}"
     )
 
-    tol = 1e-9
     t0 = time.perf_counter()
     result = model.solve_mixed(
         tolerance=tol,
@@ -107,7 +107,7 @@ def main() -> None:
         "true_rel_residual": true_r / r0,
         "tip_uz_min": float(np.asarray(result.x).reshape(-1, 3)[:, 2].min()),
     }
-    path = Path(__file__).resolve().parent.parent / "artifacts" / "assembled_solve_r3.json"
+    path = Path(__file__).resolve().parent.parent / "artifacts" / "assembled_solve_r4.json"
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_text(json.dumps(out, indent=1))
     print(json.dumps(out), flush=True)
