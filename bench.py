@@ -143,17 +143,21 @@ def bench_element_stiffness_roofline():
         u0 = jnp.zeros((E, n, 3), space.X_geo.dtype)
 
         # The element matrices A are the LOOP CARRY, so XLA must
-        # materialize the full [E, ns, ns] buffer every iteration — a
+        # materialize the full element-matrix buffer every iteration — a
         # scalar-reduction chain would let the store fuse away and price
         # a kernel the model's (ns)^2 write term never ran (round-3
-        # tet10 "roofline_fraction" 1.17 > 1).
-        def step(A, Xg, u0=u0, tab=tab):
-            return L.assemble_element_elliptic_matrices(
-                Xg + 1e-30 * A[0, 0, 0], u0, mop, params, tab
+        # tet10 "roofline_fraction" 1.17 > 1).  Element-minor output
+        # [ns, ns, E]: the model's 4*(ns)^2 write bytes land almost
+        # exactly (ns -> 64 sublane pad only), where [E, ns, ns]
+        # lane-pads ns -> 128 (2.3x at hex20) — and element-minor is the
+        # orientation the block-DIA scatter consumes.
+        def step(A_em, Xg, u0=u0, tab=tab):
+            return L.assemble_element_elliptic_matrices_em(
+                Xg + 1e-30 * A_em[0, 0, 0], u0, mop, params, tab
             )
 
         ns = n * 3
-        A0 = jnp.zeros((E, ns, ns), space.X_geo.dtype)
+        A0 = jnp.zeros((ns, ns, E), space.X_geo.dtype)
         dt = device_loop_time(step, A0, 4, operands=(space.X_geo,))
         out.append(
             stiffness_roofline(
@@ -225,7 +229,7 @@ def bench_assembled_newton(res: int = 63):
     def mf_step(v):
         return model.hessian_vector_product(u0, v) * 1e-6 + v * 0.999
 
-    t_mf = device_loop_time(mf_step, v0, 4)
+    t_mf = device_loop_time(mf_step, jnp.ones(model.space.num_dofs, jnp.float32), 4)
     return {
         "elements": mesh.num_cells,
         "dofs": model.space.num_dofs,
@@ -332,6 +336,17 @@ def bench_spmv(res: int = 69):
         block_ell_gbps=round(bytes_eff / dt_ell / 1e9, 2),
         hbm_fraction_ell=round(bytes_eff / dt_ell / 1e9 / V5E_HBM_GBPS, 3),
     )
+    from fenris_tpu.sparse import TPU_SCALAR_SPMV_MAX_NNZ
+
+    if nnz > TPU_SCALAR_SPMV_MAX_NNZ:
+        # the scalar-CSR program crashes the TPU worker at this size
+        # (observed r2-r4) and a crashed worker wedges the device for up
+        # to tens of minutes; spmv() now refuses above the cap
+        out["csr"] = (
+            f"guarded: scalar-CSR skipped above {TPU_SCALAR_SPMV_MAX_NNZ} nnz "
+            "(crashes the TPU worker; block layouts are the production SpMV)"
+        )
+        return out
     try:
         dt_csr = device_loop_time(
             csr_step, v0, 6, operands=(csr.row_ptr, csr.col_indices, csr.values)

@@ -360,7 +360,24 @@ def _params_to_qe(params, E: int, q: int):
     return jax.tree_util.tree_map(conv, params)
 
 
-def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation):
+def assemble_element_elliptic_matrices_em(X_geo, u_el, op, params, tab: Tabulation):
+    """Element matrices in **element-minor** layout ``A[n*s, n*s, E]``.
+
+    Same integrals as :func:`assemble_element_elliptic_matrices` (MXU
+    reassociation), but the element axis stays minor end-to-end: the
+    per-(i, j) matmuls emit ``[n², E]`` (M = n², N = E lanes) and the
+    final block interleave permutes only major axes.  This is the TPU
+    fast form — the ``[E, ns, ns]`` layout lane-pads ns -> 128 on its
+    minor axis (2.3x write amplification at hex20) and needs a
+    minor-axis transpose to produce; element-minor writes the model's
+    4·(ns)² bytes almost exactly (ns -> 64 sublane pad only) and is the
+    orientation the block-DIA scatter consumes anyway
+    (sparse/block_dia._scatter_dia_impl transposes to (s, s, e, n, n)).
+    """
+    return _elliptic_matrices_mxu(X_geo, u_el, op, params, tab, out_layout="em")
+
+
+def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation, out_layout: str = "e"):
     """MXU-shaped element-matrix assembly.
 
     Same integrals as the einsum path, reassociated for the TPU (measured
@@ -472,6 +489,7 @@ def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation):
     # matmuls at s=3), average the Ft pair to project out that defect,
     # and mirror — same integrals, exactly symmetric A by construction,
     # one third fewer MXU flops.
+    em = out_layout == "em"
     pieces = [[None] * s for _ in range(s)]
     for i in range(s):
         for j in range(s):
@@ -486,17 +504,27 @@ def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation):
             else:
                 rows = [ft[a][i][b][j] for a in range(d) for b in range(d)]
             lhs = jnp.stack(rows, 0).reshape(d * d * q, E)
-            pieces[i][j] = _einsum("ke,kn->en", lhs, Wc).reshape(E, n, n)
+            if em:
+                # element-minor: out [n², E] — M = n², N = E on the MXU;
+                # the element axis never leaves lanes
+                pieces[i][j] = _einsum("ke,kn->ne", lhs, Wc).reshape(n, n, E)
+            else:
+                pieces[i][j] = _einsum("ke,kn->en", lhs, Wc).reshape(E, n, n)
+    tp = (lambda P: jnp.transpose(P, (1, 0, 2))) if em else (
+        lambda P: jnp.transpose(P, (0, 2, 1))
+    )
     if op.symmetric:
         sym = [[None] * s for _ in range(s)]
         for i in range(s):
-            sym[i][i] = 0.5 * (
-                pieces[i][i] + jnp.transpose(pieces[i][i], (0, 2, 1))
-            )
+            sym[i][i] = 0.5 * (pieces[i][i] + tp(pieces[i][i]))
             for j in range(i + 1, s):
                 sym[i][j] = pieces[i][j]
-                sym[j][i] = jnp.transpose(pieces[i][j], (0, 2, 1))
+                sym[j][i] = tp(pieces[i][j])
         pieces = sym
+    if em:
+        A2 = jnp.stack([jnp.stack(row, 0) for row in pieces], 0)  # [s, s, n, n, E]
+        # interleave to [(n i), (p j), E]: major-axis permute only
+        return jnp.transpose(A2, (2, 0, 3, 1, 4)).reshape(n * s, n * s, E)
     A2 = jnp.stack([jnp.stack(row, 0) for row in pieces], 0)  # [s, s, E, n, n]
     return jnp.transpose(A2, (2, 3, 0, 4, 1)).reshape(E, n * s, n * s)
 

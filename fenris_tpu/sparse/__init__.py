@@ -77,12 +77,34 @@ def _rows_of_nnz(m: CsrMatrix):
     ).astype(jnp.int32)
 
 
+# Scalar-CSR SpMV (one irregular index per nnz) has crashed the XLA:TPU
+# worker at 81M nnz in three consecutive rounds ("TPU worker process
+# crashed", leaving the device wedged for up to tens of minutes).  Until
+# the faulting program is root-caused, the TPU path refuses above this
+# size instead of killing the worker; the block layouts (block-DIA via
+# sparse/dia_kernel, block-ELL) are the production SpMV forms anyway.
+TPU_SCALAR_SPMV_MAX_NNZ = 2**25
+
+
 def spmv(m: CsrMatrix, v):
     """CSR sparse matrix-vector product via gather + segment-sum.
 
-    Deterministic and fusion-friendly; for the peak-bandwidth path see the
-    Pallas ELL kernel in :mod:`fenris_tpu.ops.spmv`.
+    Deterministic and fusion-friendly; for the peak-bandwidth paths see
+    :func:`fenris_tpu.sparse.dia_kernel.block_dia_operator` (fused Pallas
+    band sweep) and :mod:`fenris_tpu.sparse.block_ell`.
+
+    On TPU, sizes above :data:`TPU_SCALAR_SPMV_MAX_NNZ` raise instead of
+    dispatching: the scalar-CSR program reproducibly crashes the TPU
+    worker process at ~81M nnz (observed rounds 2-4), and a crashed
+    worker poisons every subsequent device call in the process.
     """
+    if jax.default_backend() == "tpu" and m.nnz > TPU_SCALAR_SPMV_MAX_NNZ:
+        raise NotImplementedError(
+            f"scalar-CSR spmv at {m.nnz} nnz exceeds the TPU safety cap "
+            f"({TPU_SCALAR_SPMV_MAX_NNZ}): this program class crashes the "
+            "TPU worker at large sizes; convert the operator with "
+            "block_dia_from_csr / block_ell_from_csr instead"
+        )
     rows = _rows_of_nnz(m)
     prod = m.values * v[m.col_indices]
     return jax.ops.segment_sum(prod, rows, num_segments=m.shape[0])

@@ -343,3 +343,34 @@ def test_mxu_layout_matches_einsum(upresent, rng):
     A1 = L.assemble_element_elliptic_matrices(X, None, LaplaceOperator(), None, qtab, layout="einsum")
     A2 = L.assemble_element_elliptic_matrices(X, None, LaplaceOperator(), None, qtab, layout="mxu")
     np.testing.assert_allclose(np.asarray(A1), np.asarray(A2), rtol=1e-13, atol=1e-15)
+
+
+@pytest.mark.parametrize("upresent", [False, True])
+def test_element_matrices_em_layout_matches(upresent, rng):
+    """assemble_element_elliptic_matrices_em == the [E, ns, ns] assembler
+    transposed (same MXU reassociation, element-minor output)."""
+    from fenris_tpu.fem import FemSpace
+    from fenris_tpu.quadrature.canonical import canonical_stiffness
+    from fenris_tpu.solid import (
+        LameParameters,
+        MaterialEllipticOperator,
+        NeoHookeanMaterial,
+    )
+
+    mesh = procedural.create_unit_box_uniform_hex_mesh_3d(3)
+    mop = MaterialEllipticOperator(NeoHookeanMaterial(), dim=3)
+    params = LameParameters(mu=384.0, lam=577.0)
+    tab = L.tabulate(mesh.element, canonical_stiffness(mesh.element))
+    space = FemSpace.create(mesh)
+    u = (
+        jnp.asarray(rng.uniform(-1e-3, 1e-3, (mesh.num_cells, 8, 3)))
+        if upresent
+        else None
+    )
+    A = L.assemble_element_elliptic_matrices(
+        space.X_geo, u, mop, params, tab, layout="mxu"
+    )
+    A_em = L.assemble_element_elliptic_matrices_em(space.X_geo, u, mop, params, tab)
+    np.testing.assert_allclose(
+        np.asarray(A_em), np.transpose(np.asarray(A), (1, 2, 0)), rtol=1e-12, atol=1e-12
+    )

@@ -674,3 +674,24 @@ def test_hoist_closure_hoists_concrete_arrays():
     np.testing.assert_allclose(
         np.asarray(jax.jit(outer)(u0)), np.asarray(outer(u0))
     )
+
+
+def test_scalar_spmv_tpu_size_guard(monkeypatch, rng):
+    """spmv refuses TPU dispatch above the worker-crash cap (r2-r4:
+    scalar-CSR at 81M nnz kills the TPU worker process)."""
+    import fenris_tpu.sparse as S
+
+    m = S.CsrMatrix(
+        row_ptr=jnp.asarray(np.array([0, 1], np.int64)),
+        col_indices=jnp.zeros(1, jnp.int32),
+        values=jnp.ones(1, jnp.float32),
+        shape=(1, 1),
+    )
+    # fake a TPU backend and a huge nnz via a subclassed view
+    monkeypatch.setattr(S.jax, "default_backend", lambda: "tpu")
+    big = m._replace(col_indices=jnp.zeros(1, jnp.int32))
+    monkeypatch.setattr(
+        type(big), "nnz", property(lambda self: S.TPU_SCALAR_SPMV_MAX_NNZ + 1)
+    )
+    with pytest.raises(NotImplementedError, match="safety cap"):
+        S.spmv(big, jnp.ones(1, jnp.float32))

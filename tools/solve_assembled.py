@@ -27,8 +27,13 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+
     import jax
 
+    if os.environ.get("FENRIS_TPU_FORCE_CPU"):
+        # JAX_PLATFORMS is overridden by the axon plugin (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     jax.config.update("jax_enable_x64", True)  # f64 outer residual
     import jax.numpy as jnp

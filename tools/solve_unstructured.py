@@ -93,8 +93,13 @@ def level_case(coarse, levels: int) -> dict:
 
 
 def main() -> None:
+    import os
+
     import jax
 
+    if os.environ.get("FENRIS_TPU_FORCE_CPU"):
+        # JAX_PLATFORMS is overridden by the axon plugin (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     # x64 for the mixed-precision outer residual; the per-level CG
     # measurements stay f32 (models are built with dtype=float32)
