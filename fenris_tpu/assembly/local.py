@@ -301,6 +301,14 @@ def assemble_element_elliptic_matrices(
         return _chunked_elliptic_matrices(
             X_geo, u_el, op, params, tab, chunk, layout
         )
+    if (
+        getattr(op, "constant_contraction", False)
+        and _affine_geometry(tab)
+        and not _has_per_point_params(params, X_geo.shape[0], tab.num_points)
+    ):
+        # linear operator on affine elements: the quadrature sum hoists
+        # into a constant projector (same integrals, K = d² matmuls)
+        return _elliptic_matrices_affine_const(X_geo, u_el, op, params, tab, "e")
     if layout == "auto":
         layout = "mxu" if jax.default_backend() == "tpu" else "einsum"
     if layout == "mxu":
@@ -374,6 +382,12 @@ def assemble_element_elliptic_matrices_em(X_geo, u_el, op, params, tab: Tabulati
     orientation the block-DIA scatter consumes anyway
     (sparse/block_dia._scatter_dia_impl transposes to (s, s, e, n, n)).
     """
+    if (
+        getattr(op, "constant_contraction", False)
+        and _affine_geometry(tab)
+        and not _has_per_point_params(params, X_geo.shape[0], tab.num_points)
+    ):
+        return _elliptic_matrices_affine_const(X_geo, u_el, op, params, tab, "em")
     return _elliptic_matrices_mxu(X_geo, u_el, op, params, tab, out_layout="em")
 
 
@@ -481,14 +495,28 @@ def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation, out_layout:
         np.einsum("qna,qpb->abqnp", dphi, dphi).reshape(d * d * q, n * n),
         dtype=dtype,
     )
-    # per (i, j): lhs [(a,b,q), E] consumed as-produced; M = E on the MXU.
-    # For symmetric operators the integrand has major symmetry
-    # (Ft[a,i,b,j] = Ft[b,j,a,i] — it is a second derivative), so the
-    # (j, i) block is the (i, j) block transposed up to the symmetry
-    # defect of the pointwise tangent D: compute only i <= j (6 of 9
-    # matmuls at s=3), average the Ft pair to project out that defect,
-    # and mirror — same integrals, exactly symmetric A by construction,
-    # one third fewer MXU flops.
+    return _ft_pieces_to_matrices(ft, Wc, op, s, d, n, E, out_layout)
+
+
+def _ft_pieces_to_matrices(ft, Wc, op, s, d, n, E, out_layout):
+    """Shared MXU tail: contract ``ft`` blocks against the constant
+    projector ``Wc`` and interleave the (node, component) blocks.
+
+    ``ft[a][i][b][j]`` entries may carry any extra leading batch axes
+    (``[q, E]`` on the general path, ``[E]`` on the affine path) as long as
+    stacking the ``(a, b)`` pairs flattens to ``[K, E]`` with
+    ``K = Wc.shape[0]`` in (a, b, extra...) order.
+
+    Per (i, j): lhs [(a,b,...), E] consumed as-produced; M = E on the MXU.
+    For symmetric operators the integrand has major symmetry
+    (Ft[a,i,b,j] = Ft[b,j,a,i] — it is a second derivative), so the
+    (j, i) block is the (i, j) block transposed up to the symmetry
+    defect of the pointwise tangent D: compute only i <= j (6 of 9
+    matmuls at s=3), average the Ft pair to project out that defect,
+    and mirror — same integrals, exactly symmetric A by construction,
+    one third fewer MXU flops.
+    """
+    K = Wc.shape[0]
     em = out_layout == "em"
     pieces = [[None] * s for _ in range(s)]
     for i in range(s):
@@ -503,7 +531,7 @@ def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation, out_layout:
                 ]
             else:
                 rows = [ft[a][i][b][j] for a in range(d) for b in range(d)]
-            lhs = jnp.stack(rows, 0).reshape(d * d * q, E)
+            lhs = jnp.stack(rows, 0).reshape(K, E)
             if em:
                 # element-minor: out [n², E] — M = n², N = E on the MXU;
                 # the element axis never leaves lanes
@@ -527,6 +555,103 @@ def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation, out_layout:
         return jnp.transpose(A2, (2, 0, 3, 1, 4)).reshape(n * s, n * s, E)
     A2 = jnp.stack([jnp.stack(row, 0) for row in pieces], 0)  # [s, s, E, n, n]
     return jnp.transpose(A2, (2, 3, 0, 4, 1)).reshape(E, n * s, n * s)
+
+
+def _affine_geometry(tab: Tabulation) -> bool:
+    """True when the geometry map's gradients are quadrature-point
+    independent — i.e. the reference→physical map is affine for every
+    element (simplex corner geometry: Tri3/6, Tet4/10/20 with the
+    subparametric corner map)."""
+    gd = np.asarray(tab.geo_dphi)
+    return bool(np.all(np.abs(gd - gd[:1]) < 1e-12))
+
+
+def _has_per_point_params(params, E: int, q: int) -> bool:
+    """True if any parameter leaf carries a per-quadrature-point axis
+    (``[E, q, ...]`` or leading ``[q, ...]`` — the :func:`_vmap2`
+    classification; per-element wins the E == q ambiguity)."""
+    if params is None:
+        return False
+    found = False
+    for x in jax.tree_util.tree_leaves(params):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            continue
+        if x.shape[0] == E:
+            if x.ndim >= 2 and x.shape[1] == q:
+                found = True
+        elif x.shape[0] == q:
+            found = True
+    return found
+
+
+def _elliptic_matrices_affine_const(X_geo, u_el, op, params, tab: Tabulation, out_layout: str):
+    """Element matrices for **affine elements with a constant contraction**.
+
+    When the geometry map is affine (J, and hence J⁻¹ and det J, are the
+    same at every quadrature point — all simplex elements here, whose
+    geometry is the corner map) *and* the operator's contraction tensor D
+    is independent of ∇u (Laplace, linear elasticity), the quadrature sum
+    hoists entirely into a constant projector:
+
+        A[e,(n,i),(p,j)] = Ft0[a,i,b,j][e] · W2[(a,b),(n,p)],
+        Ft0 = |det J| · J⁻¹[a,k] D[k,i,m,j] J⁻¹[b,m],
+        W2[(a,b),(n,p)] = Σ_q w_q dphi[q,n,a] dphi[q,p,b]
+
+    — same integrals as the general MXU path (exactly: the hoist commutes
+    with the sum), at K = d² per (i, j) matmul instead of d²·q, which
+    turns the kernel memory-bound (the reference's serial hot loop
+    re-evaluates the full per-qp chain, elliptic.rs:361-434).  The
+    element matrices no longer depend on u, so ``u_el`` is ignored.
+    """
+    from .local_em import _inv_det, _pointwise_map, params_to_element_minor
+
+    E = X_geo.shape[0]
+    dtype = X_geo.dtype
+    s = op.solution_dim
+    gd0 = np.asarray(tab.geo_dphi[0])  # [m, d] (q-independent)
+    d = gd0.shape[1]
+    n = tab.dphi.shape[1]
+    J = _einsum("emi,mj->ije", X_geo, jnp.asarray(gd0, dtype=dtype))  # [d, d, E]
+    Jl = [[J[i, j] for j in range(d)] for i in range(d)]
+    Jinv, det = _inv_det(Jl, d)  # lists of [E]
+    adet = jnp.abs(det)
+    params_em = params_to_element_minor(params, E)
+    D = _pointwise_map(
+        lambda Gp, p: op.contraction(Gp, p), params_em, 1, (E,)
+    )(jnp.zeros((d, s, E), dtype=dtype), params_em)  # [d, s, d, s, E]
+    tmp = [
+        [
+            [
+                [
+                    sum(D[k, i, m, j] * Jinv[b][m] for m in range(d))
+                    for j in range(s)
+                ]
+                for b in range(d)
+            ]
+            for i in range(s)
+        ]
+        for k in range(d)
+    ]
+    ft = [
+        [
+            [
+                [
+                    adet * sum(Jinv[a][k] * tmp[k][i][b][j] for k in range(d))
+                    for j in range(s)
+                ]
+                for b in range(d)
+            ]
+            for i in range(s)
+        ]
+        for a in range(d)
+    ]
+    w = np.asarray(tab.weights)
+    dphi = np.asarray(tab.dphi)
+    W2 = jnp.asarray(
+        np.einsum("q,qna,qpb->abnp", w, dphi, dphi).reshape(d * d, n * n),
+        dtype=dtype,
+    )
+    return _ft_pieces_to_matrices(ft, W2, op, s, d, n, E, out_layout)
 
 
 def _chunked_elliptic_matrices(

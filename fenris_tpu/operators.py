@@ -43,6 +43,12 @@ class EllipticOperator:
     #: whether C(G, a, b) == C(G, b, a)^T for all inputs; lets the matrix
     #: assembler symmetrize instead of computing both triangles.
     symmetric: bool = False
+    #: whether the contraction tensor D = ∂g/∂G is independent of G (linear
+    #: operators: Laplace, linear elasticity).  Lets the matrix assembler
+    #: evaluate D once at G = 0 and — on affine elements — hoist the entire
+    #: quadrature sum into a constant projector (see
+    #: ``assembly.local._elliptic_matrices_affine_const``).
+    constant_contraction: bool = False
 
     def energy(self, G, params):
         """Energy density ψ(G) (scalar). Optional."""
@@ -91,6 +97,7 @@ class LaplaceOperator(EllipticOperator):
 
     solution_dim = 1
     symmetric = True
+    constant_contraction = True
 
     def energy(self, G, params):
         return 0.5 * jnp.sum(G * G)

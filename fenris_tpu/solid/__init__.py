@@ -120,6 +120,10 @@ class HyperelasticMaterial:
     ``F``-based entry points are provided for API parity (lib.rs:59-203).
     """
 
+    #: stress is linear in ∇u (the contraction tensor is a constant);
+    #: see EllipticOperator.constant_contraction
+    linear_stress: bool = False
+
     def energy_density_du(self, u_grad, params):
         raise NotImplementedError
 
@@ -177,6 +181,8 @@ class HyperelasticMaterial:
 
 class LinearElasticMaterial(HyperelasticMaterial):
     """ψ = μ ε:ε + λ/2 tr²(ε), ε = sym(F) - I (materials.rs:68)."""
+
+    linear_stress = True
 
     def energy_density_du(self, u_grad, params):
         mu, lam = params.mu, params.lam
@@ -357,6 +363,9 @@ class MaterialEllipticOperator(EllipticOperator):
 
     def __post_init__(self):
         self.solution_dim = self.dim
+        self.constant_contraction = bool(
+            getattr(self.material, "linear_stress", False)
+        )
 
     def energy(self, G, params):
         return self.material.energy_density_du(G, params)

@@ -374,3 +374,75 @@ def test_element_matrices_em_layout_matches(upresent, rng):
     np.testing.assert_allclose(
         np.asarray(A_em), np.transpose(np.asarray(A), (1, 2, 0)), rtol=1e-12, atol=1e-12
     )
+
+
+def test_affine_constant_contraction_fast_path(rng):
+    """Linear operators on affine (simplex) elements take the q-hoisted
+    fast path (local._elliptic_matrices_affine_const) and match the
+    general MXU path exactly; non-affine / per-qp-param cases fall back."""
+    from fenris_tpu.mesh.convert import convert_mesh
+    from fenris_tpu.quadrature.canonical import canonical_stiffness
+    from fenris_tpu.solid import (
+        LameParameters,
+        LinearElasticMaterial,
+        MaterialEllipticOperator,
+        NeoHookeanMaterial,
+    )
+
+    mesh = convert_mesh(
+        procedural.create_rectangular_uniform_tet_mesh(1.0, 1, 1, 1, 3), "tet10"
+    )
+    tab = L.tabulate(mesh.element, canonical_stiffness(mesh.element))
+    assert L._affine_geometry(tab)
+    E, n = mesh.num_cells, mesh.element.num_nodes
+    # distorted geometry: per-element jacobians all differ
+    from fenris_tpu.fem import FemSpace
+
+    Xg0 = FemSpace.create(mesh).X_geo  # [E, m, 3] corner geometry
+    Xg = jnp.asarray(
+        np.asarray(Xg0) + 0.03 * rng.standard_normal(Xg0.shape)
+    )
+    mop = MaterialEllipticOperator(LinearElasticMaterial(), dim=3)
+    assert mop.constant_contraction
+    u = jnp.asarray(0.01 * rng.standard_normal((E, n, 3)))
+    for params in [
+        LameParameters(mu=384.0, lam=577.0),
+        LameParameters(
+            mu=jnp.asarray(rng.uniform(300, 400, E)),
+            lam=jnp.asarray(rng.uniform(500, 600, E)),
+        ),
+    ]:
+        A_fast = L._elliptic_matrices_affine_const(Xg, u, mop, params, tab, "e")
+        A_gen = L._elliptic_matrices_mxu(Xg, u, mop, params, tab)
+        # reduction-order roundoff only (the q-hoist reassociates sums)
+        np.testing.assert_allclose(
+            np.asarray(A_fast), np.asarray(A_gen), rtol=1e-10, atol=1e-12
+        )
+        # the public entry dispatches to the fast path for these inputs
+        A_pub = L.assemble_element_elliptic_matrices(Xg, u, mop, params, tab)
+        np.testing.assert_array_equal(np.asarray(A_pub), np.asarray(A_fast))
+    # element-minor entry: same dispatch, transposed layout
+    A_em = L.assemble_element_elliptic_matrices_em(
+        Xg, u, mop, LameParameters(mu=384.0, lam=577.0), tab
+    )
+    A_e = L._elliptic_matrices_affine_const(
+        Xg, u, mop, LameParameters(mu=384.0, lam=577.0), tab, "e"
+    )
+    np.testing.assert_allclose(
+        np.asarray(A_em), np.transpose(np.asarray(A_e), (1, 2, 0)), rtol=1e-12, atol=1e-13
+    )
+    # per-qp params must NOT take the fast path (D would vary per point)
+    pq = LameParameters(
+        mu=jnp.asarray(rng.uniform(300, 400, (E, tab.num_points))), lam=577.0
+    )
+    assert L._has_per_point_params(pq, E, tab.num_points)
+    A_q1 = L.assemble_element_elliptic_matrices(Xg, u, mop, pq, tab, layout="einsum")
+    A_q2 = L.assemble_element_elliptic_matrices(Xg, u, mop, pq, tab, layout="mxu")
+    np.testing.assert_allclose(np.asarray(A_q1), np.asarray(A_q2), rtol=5e-13, atol=1e-13)
+    # nonlinear material: constant_contraction must be False
+    nh = MaterialEllipticOperator(NeoHookeanMaterial(), dim=3)
+    assert not nh.constant_contraction
+    # non-affine geometry (hex) is detected
+    hmesh = procedural.create_unit_box_uniform_hex_mesh_3d(2)
+    htab = L.tabulate(hmesh.element, canonical_stiffness(hmesh.element))
+    assert not L._affine_geometry(htab)

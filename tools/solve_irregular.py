@@ -1,25 +1,33 @@
 #!/usr/bin/env python
-"""Irregular-mesh flagship: assembled Newton on an RCM-reordered tet10 sphere.
+"""Irregular-mesh flagship: 1.27M-dof Newton solve on an RCM tet10 sphere.
 
 VERDICT r3 weak #8 / next #5: every at-scale demonstration so far ran on
 uniform box hex meshes; the reference's operating regime is arbitrary
 unstructured meshes (mesh.rs:23).  This tool refines the Gmsh sphere
 fixture (tests/assets/meshes/sphere_tet4_593.msh) to >=1M dofs, converts
-to tet10, RCM-reorders, and reports the numbers that show how the
-assembled block-DIA(+ELL spill) path behaves off the box:
+to tet10, RCM-reorders, and reports what the assembled block-DIA(+ELL
+spill) path really costs off the box:
 
-* the block-DIA plan economics (diagonal count, per-diagonal fill,
-  band_expand coverage or fallback, ELL remainder width),
-* per-CG-iteration cost assembled vs matrix-free,
+* a host-side **plan-economics sweep** (diagonal count vs nnz-block
+  coverage vs band memory) from one delta-population analysis,
+* measured per-CG-iteration cost of the assembled operator — split into
+  the Pallas band sweep and the ELL-spill gather — vs the banded
+  matrix-free tangent,
 * a full mixed-precision Newton solve (f64 outer residual, f32 inner
-  assembled CG) with true residual.
+  banded-MXU matrix-free CG) with true residual at 1.27M dofs.
 
 Measured layout reality (committed in the artifact): an RCM tet10 sphere
 has ~60k distinct node offsets; the top 64 diagonals hold only ~35% of
-the nnz at ~3% fill, so most of the operator rides the block-ELL spill —
-block-DIA is a *structured/banded-mesh* layout, and the plan's
-max_diagonals/min_fill spill is what keeps the assembled path honest on
-genuinely irregular meshes.
+the nnz blocks at ~15% fill, so most of the operator rides the block-ELL
+spill, whose per-value XLA gather runs at the TPU scatter/gather ceiling
+(~70M values/s).  Block-DIA is a *structured/banded-mesh* layout; on
+meshes like this the production dispatch is the banded matrix-free path,
+and this artifact is the measurement that justifies it.
+
+Memory choreography matters at this size (16 GB HBM): the assembled
+economics phase and the matrix-free solve phase run on separate model
+instances and the assembled arrays are freed before the banded tables are
+built — round-4's first attempt kept both live and OOM'd at pack time.
 
 Writes artifacts/irregular_solve_r4.json.
 
@@ -28,6 +36,7 @@ Usage: python tools/solve_irregular.py [refine_levels] [max_diagonals]
 
 from __future__ import annotations
 
+import gc
 import json
 import sys
 import time
@@ -36,6 +45,38 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
+
+
+def plan_sweep(cells, N: int) -> list:
+    """Host-only block-DIA plan economics from one delta-population pass.
+
+    Same definitions as sparse.block_dia.block_dia_assembly_plan:
+    population of a delta = distinct row nodes carrying it; coverage =
+    kept block fraction of all unique (row, col) node pairs.
+    """
+    cells = np.asarray(cells, dtype=np.int64)
+    E, n = cells.shape
+    na = np.repeat(cells, n, axis=1).reshape(-1)
+    nb = np.tile(cells, (1, n)).reshape(-1)
+    pair_key = (nb - na) * (2 * N + 1) + na
+    uniq_pairs = np.unique(pair_key)
+    u_delta = uniq_pairs // (2 * N + 1)
+    offs, pop = np.unique(u_delta, return_counts=True)
+    total = int(pop.sum())
+    order = np.argsort(pop)[::-1]
+    rows = []
+    for D in (32, 64, 128, 256, 512):
+        kept = pop[order[:D]]
+        rows.append(
+            {
+                "max_diagonals": D,
+                "coverage": round(float(kept.sum()) / total, 4),
+                "mean_fill": round(float(kept.sum()) / (D * N), 4),
+                "bands_gb": round(D * 9 * N * 4 / 1e9, 2),
+            }
+        )
+    rows.append({"distinct_deltas": int(len(offs)), "total_nnz_blocks": total})
+    return rows
 
 
 def main() -> None:
@@ -72,116 +113,201 @@ def main() -> None:
     mesh, perm = reorder_mesh(t10, reverse_cuthill_mckee(t10))
     prep_s = time.perf_counter() - t0
     pts = np.asarray(mesh.points)
+    N = mesh.num_vertices
     zmin, zmax = pts[:, 2].min(), pts[:, 2].max()
     fixed = np.flatnonzero(pts[:, 2] < zmin + 0.08 * (zmax - zmin))
     print(
-        f"mesh: {mesh.num_cells} tet10, {mesh.num_vertices} nodes, "
-        f"{3 * mesh.num_vertices} dofs, {len(fixed)} fixed; prep {prep_s:.0f}s",
+        f"mesh: {mesh.num_cells} tet10, {N} nodes, {3 * N} dofs, "
+        f"{len(fixed)} fixed; prep {prep_s:.0f}s",
         flush=True,
     )
 
-    model = HyperelasticModel(
+    model_kwargs = dict(
         mesh=mesh,
         material=NeoHookeanMaterial(),
         params=LameParameters(mu=384.614, lam=576.923),
         dirichlet_nodes=fixed,
         body_force=lambda x, p: jnp.array([0.0, 0.0, -1.0]),
         dtype=jnp.float32,
-        banded=True,  # RCM ordering -> banded MXU matrix-free path valid
     )
 
-    # -- plan economics -------------------------------------------------------
+    out_path = Path(__file__).resolve().parent.parent / "artifacts" / "irregular_solve_r4.json"
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    result = {"device": str(jax.devices()[0])}
+
+    # -- plan economics sweep (host only) ---------------------------------------
     t0 = time.perf_counter()
-    plan = model.block_dia_plan(max_diagonals, 0.0)
-    expand = model.block_dia_expand_plan(max_diagonals, 0.0)
-    plan_s = time.perf_counter() - t0
-    N = mesh.num_vertices
-    rem_k = 0 if plan.rem_neighbors is None else int(plan.rem_neighbors.shape[0])
-    rem_blocks = (
-        0
-        if plan.rem_neighbors is None
-        else int(np.count_nonzero(np.asarray(plan.rem_neighbors) < N))
-    )
-    # total unique node-adjacency blocks for fill accounting
-    cells = np.asarray(mesh.cells, dtype=np.int64)
-    pair = (cells[:, :, None] * (2 * N) + (cells[:, None, :] - cells[:, :, None] + N)).ravel()
-    total_blocks = len(np.unique(pair))
-    dia_blocks = total_blocks - rem_blocks
-    info = {
+    sweep = plan_sweep(mesh.cells, N)
+    result["plan_sweep"] = {
         "mesh": "sphere_tet4_593 refined x%d -> tet10, RCM" % levels,
         "elements": int(mesh.num_cells),
         "nodes": int(N),
         "dofs": int(3 * N),
-        "plan_seconds": round(plan_s, 1),
-        "num_diagonals": int(plan.num_diagonals),
-        "dia_nnz_block_coverage": round(dia_blocks / total_blocks, 4),
-        "dia_mean_fill": round(dia_blocks / (plan.num_diagonals * N), 4),
-        "band_expand": "available" if expand is not None else "fallback (coverage < 50%)",
-        "ell_remainder_width": rem_k,
-        "ell_remainder_blocks": rem_blocks,
-        "bands_gb": round(plan.num_diagonals * 9 * N * 4 / 1e9, 3),
+        "sweep_seconds": round(time.perf_counter() - t0, 1),
+        "rows": sweep,
     }
-    print(json.dumps(info), flush=True)
+    print(json.dumps(result["plan_sweep"]), flush=True)
+    out_path.write_text(json.dumps(result, indent=1))
 
-    # -- per-iteration economics ----------------------------------------------
-    u0 = jnp.zeros(model.space.num_dofs, jnp.float32)
+    # -- assembled-path economics ------------------------------------------------
+    # Timed on synthetic band/spill stacks of the plan's exact layout: an
+    # SpMV's cost depends on shapes and index patterns, not values, and
+    # keeping the real assembled arrays live across phases is what OOM'd
+    # round-4's first two attempts (bands 1 GB + ELL blocks + pack
+    # transients + the 1.1 GB ``plan.base`` scatter map together exceeded
+    # free HBM at pack time).  Each phase below frees its arrays before
+    # the next allocates.
+    def hbm(tag: str) -> None:
+        try:
+            st = jax.local_devices()[0].memory_stats()
+            print(
+                f"[hbm {tag}] live={st['bytes_in_use'] / 2**30:.2f} GiB "
+                f"peak={st.get('peak_bytes_in_use', 0) / 2**30:.2f}",
+                flush=True,
+            )
+        except Exception:
+            pass
 
+    model_a = HyperelasticModel(**model_kwargs)  # no banded tables
+    t0 = time.perf_counter()
+    plan = model_a.block_dia_plan(max_diagonals, 0.0)
+    expand = model_a.block_dia_expand_plan(max_diagonals, 0.0)
+    plan_s = time.perf_counter() - t0
+    rem_k = plan.rem_k
+    D = int(plan.num_diagonals)
+    offsets = tuple(plan.offsets)
+    rem_neighbors = plan.rem_neighbors  # [Kr, N] int32, real index pattern
+    expand_status = "available" if expand is not None else "fallback (coverage < 50%)"
+    u0 = jnp.zeros(model_a.space.num_dofs, jnp.float32)
+    hbm("plan")
+
+    # (1) assembly cost — the full production pipeline, nothing retained
     def assemble_once(u):
-        m = model.assemble_hessian_block_dia(u, max_diagonals, 0.0)
-        return u + 1e-20 * m.bands[0, :3].sum()
+        m = model_a.assemble_hessian_block_dia(u, max_diagonals, 0.0)
+        acc = m.bands[0, :3].sum()
+        if m.remainder is not None:
+            acc = acc + m.remainder.blocks[0, :3].sum()
+        return u + 1e-20 * acc
 
-    t_asm = device_loop_time(assemble_once, u0, 2)
+    t_asm = device_loop_time(assemble_once, u0, 2, reps=1)
+    hbm("assembly timed")
+    del model_a, plan, expand, u0  # frees plan.base ([E, n, n] int32)
+    gc.collect()
 
-    from fenris_tpu.sparse.block_ell import block_ell_matvec_cm
+    # (2) band-sweep cost on a synthetic stack of the plan's shape
+    from fenris_tpu.sparse.block_dia import BlockDiaMatrix, block_dia_matvec_cm
     from fenris_tpu.sparse.dia_kernel import (
         _pallas_applicable,
         pack_block_dia,
         packed_dia_matvec_cm,
     )
 
-    m0 = model.assemble_hessian_block_dia(u0, max_diagonals, 0.0)
-    use_kernel = _pallas_applicable(m0)
-    packed = pack_block_dia(m0) if use_kernel else None
     x2_0 = jnp.ones((3, N), jnp.float32)
-
-    def apply_step(x2, bands_k, rem_nb, rem_blocks_a):
-        if use_kernel:
-            y = packed_dia_matvec_cm(packed._replace(bands_k=bands_k), x2)
-        else:
-            from fenris_tpu.sparse.block_dia import block_dia_matvec_cm
-
-            y = block_dia_matvec_cm(m0._replace(bands=bands_k, remainder=None), x2)
-        if m0.remainder is not None:
-            rem = m0.remainder._replace(neighbors=rem_nb, blocks=rem_blocks_a)
-            y = y + block_ell_matvec_cm(rem, x2)
-        return x2 * 0.999 + 1e-12 * y
-
-    ops = (
-        packed.bands_k if use_kernel else m0.bands,
-        None if m0.remainder is None else m0.remainder.neighbors,
-        None if m0.remainder is None else m0.remainder.blocks,
+    key = jax.random.PRNGKey(0)
+    m_syn = BlockDiaMatrix(
+        bands=jax.random.normal(key, (D * 9, N), jnp.float32),
+        offsets=offsets,
+        num_nodes=N,
+        solution_dim=3,
+        remainder=None,
     )
-    t_apply = device_loop_time(apply_step, x2_0, 30, operands=ops)
+    use_kernel = _pallas_applicable(m_syn)
+    if use_kernel:
+        packed = pack_block_dia(m_syn)
+        del m_syn
+        gc.collect()
+        hbm("packed")
+
+        def band_step(x2, bands_k):
+            y = packed_dia_matvec_cm(packed._replace(bands_k=bands_k), x2)
+            return x2 * 0.999 + 1e-12 * y
+
+        band_ops = (packed.bands_k,)
+    else:  # CPU dry-run: XLA cm matvec
+
+        def band_step(x2, bands):
+            y = block_dia_matvec_cm(m_syn._replace(bands=bands), x2)
+            return x2 * 0.999 + 1e-12 * y
+
+        band_ops = (m_syn.bands,)
+
+    t_band = device_loop_time(band_step, x2_0, 10, operands=band_ops)
+    del band_ops
+    if use_kernel:
+        del packed
+    else:
+        del m_syn
+    gc.collect()
+
+    # (3) ELL-spill cost: real neighbor pattern, synthetic block values
+    t_spill = 0.0
+    if rem_k:
+        from fenris_tpu.sparse.block_ell import BlockEllMatrix, block_ell_matvec_cm
+
+        rem = BlockEllMatrix(
+            neighbors=rem_neighbors,
+            blocks=jax.random.normal(key, (rem_k * 9, N), jnp.float32),
+            num_nodes=N,
+            solution_dim=3,
+        )
+        hbm("spill built")
+
+        def spill_step(x2, rem_nb, rem_blocks_a):
+            r = rem._replace(neighbors=rem_nb, blocks=rem_blocks_a)
+            return x2 * 0.999 + 1e-12 * block_ell_matvec_cm(r, x2)
+
+        t_spill = device_loop_time(
+            spill_step, x2_0, 2, reps=1, operands=(rem.neighbors, rem.blocks)
+        )
+        del rem
+    del rem_neighbors
+    gc.collect()
+    t_apply = t_band + t_spill
+    assembled = {
+        "plan_seconds": round(plan_s, 1),
+        "num_diagonals": D,
+        "band_expand": expand_status,
+        "ell_remainder_width": rem_k,
+        "bands_gb": round(D * 9 * N * 4 / 1e9, 3),
+        "assembly_ms": round(t_asm * 1e3, 1),
+        "band_sweep_ms": round(t_band * 1e3, 3),
+        "ell_spill_ms": round(t_spill * 1e3, 3),
+        "cg_iteration_ms": round(t_apply * 1e3, 3),
+        "timing_inputs": "real index patterns, synthetic values (SpMV cost is value-independent)",
+    }
+    result["assembled_economics"] = assembled
+    print(json.dumps(assembled), flush=True)
+    out_path.write_text(json.dumps(result, indent=1))
+    hbm("economics done")
+
+    # -- matrix-free banded path + full mixed-precision Newton solve ------------
+    model = HyperelasticModel(**model_kwargs, banded=True)
+    u0 = jnp.zeros(model.space.num_dofs, jnp.float32)
 
     def mf_step(v):
         return model.hessian_vector_product(u0, v) * 1e-6 + v * 0.999
 
     t_mf = device_loop_time(mf_step, jnp.ones(model.space.num_dofs, jnp.float32), 4)
-    info.update(
-        assembly_ms=round(t_asm * 1e3, 1),
-        cg_iteration_ms=round(t_apply * 1e3, 3),
-        matrix_free_iteration_ms=round(t_mf * 1e3, 3),
-        speedup_per_iteration=round(t_mf / t_apply, 2),
-        break_even_cg_iterations=int(round(t_asm / max(t_mf - t_apply, 1e-9))),
+    result["matrix_free"] = {
+        "path": "banded MXU (ops/banded + assembly/local_em)",
+        "hvp_ms": round(t_mf * 1e3, 3),
+    }
+    cov = next(
+        (r["coverage"] for r in sweep if r.get("max_diagonals") == max_diagonals),
+        float("nan"),
     )
-    print(json.dumps(info), flush=True)
-
-    out_path = Path(__file__).resolve().parent.parent / "artifacts" / "irregular_solve_r4.json"
-    out_path.parent.mkdir(parents=True, exist_ok=True)
-    result = {"device": str(jax.devices()[0]), "plan": info}
+    result["dispatch"] = {
+        "assembled_vs_mf_per_iteration": round(t_apply / t_mf, 2),
+        "note": (
+            "assembled block-DIA loses on this mesh: %.0f%% nnz-block "
+            "coverage puts the spill on the XLA per-value gather ceiling; "
+            "the production choice at this coverage is the banded "
+            "matrix-free path, used for the solve below" % (100 * cov)
+        ),
+    }
+    print(json.dumps(result["dispatch"]), flush=True)
     out_path.write_text(json.dumps(result, indent=1))
 
-    # -- full mixed-precision Newton solve --------------------------------------
     r0 = float(jnp.linalg.norm(model.residual(u0)))
     t0 = time.perf_counter()
     res = model.solve_mixed(
@@ -189,13 +315,13 @@ def main() -> None:
         cg_rel_tolerance=1e-4,
         cg_max_iter=3000,
         max_newton_iterations=25,
-        assembled=True,
-        dia_max_diagonals=max_diagonals,
         verbose=True,
     )
     wall = time.perf_counter() - t0
     rn = float(res.residual_norm)
     result["newton_solve"] = {
+        "dofs": int(3 * N),
+        "path": "mixed-precision Newton, banded matrix-free f32 CG, f64 outer residual",
         "newton_iterations": int(res.iterations),
         "status": int(res.status),
         "wall_seconds": round(wall, 1),
