@@ -404,6 +404,33 @@ class HyperelasticModel:
             # assembly/CG mixes f32 operators with f64 vectors
             b_el = b_el.astype(dtype) * self._valid_el[:, None]
             return B.scatter_add(self._plan, b_el.reshape(pe, n, s)).reshape(-1)
+        if self.chunk_size is not None:
+            # chunked sweep: the unchunked einsum path materializes
+            # [E, q, d, d] jacobians (+ mapped points / f values) for the
+            # whole mesh — in f64 at 3.3M hex8 that alone overflowed HBM
+            # (observed 22.2 GB vs 15.75, round 4 res=149 via solve_mixed's
+            # f64 twin, whose __post_init__ lands here)
+            n, s = self.mesh.element.num_nodes, self.mesh.dim
+
+            def body(acc, Xg, dofs, valid, p):
+                b_el = L.assemble_element_source_vectors(
+                    Xg, self.body_force, None, s, self.tab
+                )
+                b_el = b_el.astype(dtype) * valid[:, None]
+                return (
+                    acc
+                    + jax.ops.segment_sum(
+                        b_el.reshape(-1),
+                        dofs.reshape(-1),
+                        num_segments=self.space.num_dofs,
+                    ),
+                    None,
+                )
+
+            out, _ = self._chunk_scan(
+                jnp.zeros(self.space.num_dofs, dtype), body
+            )
+            return out
         b_el = L.assemble_element_source_vectors(
             self.space.X_geo, self.body_force, None, self.mesh.dim, self.tab
         )
@@ -738,6 +765,18 @@ class HyperelasticModel:
         expand = self.block_dia_expand_plan(max_diagonals, min_fill)
         E = self.mesh.num_cells
         nd = self.mesh.element.num_nodes * self.mesh.dim
+        if (
+            expand is not None
+            and self.chunk_size is not None
+            and E > self.chunk_size
+        ):
+            # streaming fused assemble+scatter: the full [E, nd, nd]
+            # element-matrix buffer (7.6 GB f32 at 3.3M hex8) never
+            # materializes — each chunk's element-minor matrices expand to
+            # band rows and accumulate into the [N, D*s*s] band stack
+            # inside one scan (round-4 HBM fix for the 10M-dof assembled
+            # solve, tools/solve_assembled.py)
+            return self._assemble_block_dia_streamed(u, plan, expand)
         mat_chunk = self.chunk_size if self.chunk_size is not None else None
         if mat_chunk is None and E * nd * nd > 2**27:
             mat_chunk = 8192  # bound the 6-D contraction transients
@@ -745,6 +784,141 @@ class HyperelasticModel:
         num_chunks = -(-(E * nd * nd) // 2**27)  # ~0.5 GB transients/chunk
         return assemble_block_dia(
             plan, A_el, num_chunks=num_chunks, expand=expand
+        )
+
+    def _dia_stream_chunks(self, expand):
+        """Chunked ``(cols, class_mask)`` aligned with :meth:`_chunked`'s
+        element padding (repeat-first + valid mask)."""
+        cache = getattr(self, "_dia_stream_cache", None)
+        if cache is not None and cache[0] is expand:
+            return cache[1], cache[2]
+        c = self.chunk_size
+        E = self.mesh.num_cells
+        pad = (-E) % c
+        cols = np.asarray(expand.cols)
+        mask = np.asarray(expand.class_mask)
+        if pad:
+            # padded elements repeat element 0's rows; their values are
+            # zeroed by the valid mask so the scatter adds exact zeros
+            cols = np.concatenate([cols, np.repeat(cols[:1], pad, axis=0)], axis=0)
+            mask = np.concatenate(
+                [mask, np.zeros((mask.shape[0], pad), mask.dtype)], axis=1
+            )
+        k = cols.shape[0] // c
+        colsc = jnp.asarray(cols.reshape(k, c, cols.shape[1]))
+        maskc = jnp.asarray(
+            np.moveaxis(mask.reshape(mask.shape[0], k, c), 1, 0)
+        )  # [k, C, c]
+        self._dia_stream_cache = (expand, colsc, maskc)
+        return colsc, maskc
+
+    def _params_subset(self, idx):
+        """``self.params`` restricted to the elements in ``idx`` (leaves
+        with a leading ``num_cells`` axis are gathered; others pass
+        through — same classification as :meth:`_chunked_params`)."""
+        if self.params is None:
+            return None
+        E = self.mesh.num_cells
+
+        def conv(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == E:
+                return x[idx]
+            return x
+
+        return jax.tree_util.tree_map(conv, self.params)
+
+    def _assemble_block_dia_streamed(self, u, plan, expand):
+        """Fused chunked element-matrix assembly + band-row scatter.
+
+        Equal to ``assemble_block_dia(plan,
+        assemble_hessian_matrices(u), expand=expand)`` to summation-order
+        roundoff, but peak HBM is one ``[N, D*s*s]`` accumulator plus one
+        chunk's transients instead of the full element-matrix buffer.
+        """
+        from .sparse.block_dia import (
+            BlockDiaMatrix,
+            _scatter_dia_impl,
+            expand_rows_em_masked,
+        )
+        from .sparse.block_ell import BlockEllMatrix
+
+        n, s = self.mesh.element.num_nodes, self.mesh.dim
+        N, D, kr = plan.num_nodes, plan.num_diagonals, plan.rem_k
+        R = expand.M.shape[-1]
+        dtype = self.space.X_geo.dtype
+        Xc, dofc, validc = self._chunked()
+        treedef, leaves, flags, per_el = self._chunked_params()
+        colsc, maskc = self._dia_stream_chunks(expand)
+        Md = jnp.asarray(expand.M, dtype)
+        u2 = u.astype(dtype)
+
+        fns = getattr(self, "_dia_stream_fns", None)
+        if fns is None:
+            fns = self._dia_stream_fns = {}
+        run = fns.get((N, R))
+        if run is None:
+            op, tab = self.operator, self.tab
+
+            def run_impl(u2, Xc, dofc, validc, colsc, maskc, Md, per_el):
+                def body(acc, xs):
+                    Xg, dofs, valid, cb, mb, *pls = xs
+                    it = iter(pls)
+                    merged = [
+                        next(it) if f else x for x, f in zip(leaves, flags)
+                    ]
+                    p = jax.tree_util.tree_unflatten(treedef, merged)
+                    u_el = u2[dofs].reshape(-1, n, s)
+                    A_em = L.assemble_element_elliptic_matrices_em(
+                        Xg, u_el, op, p, tab
+                    )
+                    # [(a i), (b j), e] -> [a, (i b j), e]: contiguous
+                    vals = A_em.reshape(n, s * n * s, -1) * valid[None, None, :]
+                    rows, ids = expand_rows_em_masked(vals, cb, mb, Md)
+                    return (
+                        acc
+                        + jax.ops.segment_sum(rows, ids, num_segments=N),
+                        None,
+                    )
+
+                bandsT, _ = jax.lax.scan(
+                    body,
+                    jnp.zeros((N, R), Xc.dtype),
+                    (Xc, dofc, validc, colsc, maskc, *per_el),
+                )
+                return jnp.transpose(bandsT)
+
+            run = fns[(N, R)] = jax.jit(run_impl)
+        bands = run(u2, Xc, dofc, validc, colsc, maskc, Md, tuple(per_el))
+
+        total = (D + kr) * s * s * N
+        rem_blocks = jnp.zeros((kr * s * s, N), dtype) if kr else None
+        if expand.slow_idx is not None:
+            idx = np.asarray(expand.slow_idx)
+            Xs = self.space.X_geo[idx]
+            dofs_s = self.space.dofs[idx]
+            u_el = u2[dofs_s].reshape(-1, n, s)
+            A_s = L.assemble_element_elliptic_matrices_em(
+                Xs, u_el, self.operator, self._params_subset(idx), self.tab
+            )
+            A_s = jnp.transpose(A_s, (2, 0, 1))  # element-major, small set
+            flat = _scatter_dia_impl(A_s, plan.base[idx], total, s, N, 1)
+            bands = bands + flat[: D * s * s * N].reshape(D * s * s, N)
+            if kr:
+                rem_blocks = flat[D * s * s * N :].reshape(kr * s * s, N)
+        remainder = None
+        if kr:
+            remainder = BlockEllMatrix(
+                neighbors=plan.rem_neighbors,
+                blocks=rem_blocks,
+                num_nodes=N,
+                solution_dim=s,
+            )
+        return BlockDiaMatrix(
+            offsets=plan.offsets,
+            bands=bands,
+            num_nodes=N,
+            solution_dim=s,
+            remainder=remainder,
         )
 
     def assembled_hessian_operator(

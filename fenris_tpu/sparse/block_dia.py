@@ -382,6 +382,31 @@ def band_expand_plan(
     )
 
 
+def expand_rows_em_masked(vals, cb, mb, Md):
+    """Class-masked band-row expansion (shared kernel).
+
+    ``vals [n, s*n*s, e]``: element-matrix values in element-minor
+    (a, (i, b, j), e) order — exactly ``A_em.reshape(n, s*n*s, E)`` of the
+    element-minor assembler output.  ``cb [e, n]``: row node per
+    (element, a).  ``mb [C, e]``: class membership.  ``Md
+    [C, n, s*n*s, R]``: 0/1 class expansion operators (value dtype).
+    Returns ``(rows [n*e, R], ids [n*e])`` ready for one row
+    ``segment_sum`` — consumed both by :func:`_expand_scatter_impl` and,
+    per chunk, by the streaming fused assemble+scatter in
+    :meth:`fenris_tpu.elasticity.HyperelasticModel.assemble_hessian_block_dia`
+    (which never materializes the full ``[E, n*s, n*s]`` buffer)."""
+    R = Md.shape[-1]
+    exp = None
+    for c in range(Md.shape[0]):
+        vc = vals * mb[c][None, None, :]
+        # exact: 0/1 operator, injective per (a, b) — no accumulation
+        e = _einsum("ace,acr->aer", vc, Md[c])
+        exp = e if exp is None else exp + e
+    rows = exp.reshape(-1, R)  # a-major rows
+    ids = jnp.transpose(cb).reshape(-1)
+    return rows, ids
+
+
 @partial(jax.jit, static_argnames=("s", "N", "num_chunks"))
 def _expand_scatter_impl(A_el, cols, class_mask, M, s: int, N: int, num_chunks: int):
     """Fast band assembly: class-static expansion + ONE row segment_sum.
@@ -400,15 +425,7 @@ def _expand_scatter_impl(A_el, cols, class_mask, M, s: int, N: int, num_chunks: 
         # vals[a, comp, e] (element-minor); comp = (i, b, j) matches
         # band_expand_plan
         vals = jnp.transpose(A5, (1, 2, 3, 4, 0)).reshape(n, s * n * s, -1)
-        exp = None
-        for c in range(Md.shape[0]):
-            vc = vals * mb[c][None, None, :]
-            # exact: 0/1 operator, injective per (a, b) — no accumulation
-            e = _einsum("ace,acr->aer", vc, Md[c])
-            exp = e if exp is None else exp + e
-        rows = exp.reshape(-1, R)  # a-major rows
-        ids = jnp.transpose(cb).reshape(-1)
-        return rows, ids
+        return expand_rows_em_masked(vals, cb, mb, Md)
 
     if num_chunks <= 1:
         rows, ids = chunk_rows(A_el, cols, class_mask)

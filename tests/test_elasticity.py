@@ -212,3 +212,25 @@ def test_chunked_model_trace_then_eager_no_tracer_leak():
     model2 = _cantilever_model(NeoHookeanMaterial(), res=2)
     oracle = model2.residual(u0 + 0.001 * model.free_mask)
     np.testing.assert_allclose(np.asarray(eager), np.asarray(oracle), atol=1e-12)
+
+
+def test_external_forces_chunked_matches_unchunked():
+    """Chunked body-force assembly == unchunked (round-4 HBM regression).
+
+    The unchunked source sweep materializes [E, q, d, d] jacobians for the
+    whole mesh; in f64 at 3.3M hex8 (solve_mixed's f64 twin __post_init__)
+    that alone overflowed HBM.  _assemble_external_forces now rides
+    _chunk_scan when chunk_size is set; values must be identical up to
+    summation order.
+    """
+    mesh = procedural.create_unit_box_uniform_hex_mesh_3d(4)
+    bf = lambda x, p: jnp.stack([x[0], -2.0 * jnp.ones_like(x[0]), x[2] * x[1]])
+    kw = dict(
+        mesh=mesh,
+        material=NeoHookeanMaterial(),
+        params=LameParameters(mu=384.0, lam=577.0),
+        body_force=bf,
+    )
+    f0 = HyperelasticModel(**kw)._f_ext
+    f1 = HyperelasticModel(chunk_size=13, **kw)._f_ext  # ragged last chunk
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), rtol=1e-12, atol=1e-14)

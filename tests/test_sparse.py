@@ -695,3 +695,58 @@ def test_scalar_spmv_tpu_size_guard(monkeypatch, rng):
     )
     with pytest.raises(NotImplementedError, match="safety cap"):
         S.spmv(big, jnp.ones(1, jnp.float32))
+
+
+def test_block_dia_streamed_assembly_matches_materialized(rng):
+    """Streaming fused assemble+scatter == materialized-buffer route.
+
+    assemble_hessian_block_dia with chunk_size < E takes the streamed
+    path (_assemble_block_dia_streamed: per-chunk element-minor matrices
+    expanded to band rows inside one scan, the full [E, nd, nd] buffer
+    never built — the round-4 HBM fix that made the 10.1M-dof assembled
+    solve fit in 16 GB).  Bands must match the unchunked materialized
+    assembly to summation-order roundoff; the ELL spill and slow-element
+    fallback subsets must match too.
+    """
+    import jax.numpy as jnp
+
+    from fenris_tpu.elasticity import HyperelasticModel
+    from fenris_tpu.mesh.procedural import create_unit_box_uniform_hex_mesh_3d
+    from fenris_tpu.solid import LameParameters, NeoHookeanMaterial
+
+    mesh = create_unit_box_uniform_hex_mesh_3d(4)
+
+    def build(**kw):
+        return HyperelasticModel(
+            mesh=mesh,
+            material=NeoHookeanMaterial(),
+            params=LameParameters(mu=384.0, lam=577.0),
+            **kw,
+        )
+
+    u = jnp.asarray(rng.standard_normal(3 * mesh.num_vertices) * 0.01)
+
+    m_ref = build().assemble_hessian_block_dia(u)
+    model_s = build(chunk_size=13)  # E=64 > 13 -> streamed, ragged last chunk
+    assert model_s.block_dia_expand_plan() is not None
+    m_str = model_s.assemble_hessian_block_dia(u)
+    assert m_str.offsets == m_ref.offsets
+    np.testing.assert_allclose(
+        np.asarray(m_str.bands), np.asarray(m_ref.bands), rtol=1e-12, atol=1e-12
+    )
+
+    # capped diagonals: remainder spill + slow-element fallback through the
+    # streamed route must still reproduce the materialized result
+    m_ref7 = build().assemble_hessian_block_dia(u, max_diagonals=7)
+    m_str7 = build(chunk_size=13).assemble_hessian_block_dia(u, max_diagonals=7)
+    assert m_str7.offsets == m_ref7.offsets
+    np.testing.assert_allclose(
+        np.asarray(m_str7.bands), np.asarray(m_ref7.bands), rtol=1e-12, atol=1e-12
+    )
+    if m_ref7.remainder is not None:
+        np.testing.assert_allclose(
+            np.asarray(m_str7.remainder.blocks),
+            np.asarray(m_ref7.remainder.blocks),
+            rtol=1e-12,
+            atol=1e-12,
+        )
