@@ -431,7 +431,11 @@ def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation, out_layout:
     w = jnp.asarray(tab.weights, dtype=dtype)
     wdet = w[:, None] * jnp.abs(det)  # [q, E]
     dphi = np.asarray(tab.dphi)  # [q, n, d] host constants
-    if u_el is None:
+    const_D = getattr(op, "constant_contraction", False) and not _has_per_point_params(
+        params, E, q
+    )
+    if u_el is None or const_D:
+        # const_D: the contraction is independent of ∇u — G is never read
         G_qe = jnp.zeros((d, s, q, E), dtype=dtype)
     else:
         u_em = jnp.transpose(u_el, (1, 2, 0))  # [n, s, E]
@@ -457,45 +461,63 @@ def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation, out_layout:
             ],
             0,
         )  # [d, s, q, E]
-    params_qe = _params_to_qe(params, E, q)
-    D = _pointwise_map(
-        lambda Gp, p: op.contraction(Gp, p), params_qe, 2, (q, E)
-    )(G_qe, params_qe)  # [d, s, d, s, q, E]
-    # tmp[k,i,b,j] = sum_m D[k,i,m,j] * Jinv[b,m];  Ft[a,i,b,j] = wdet *
-    # sum_k Jinv[a,k] * tmp[k,i,b,j] — full-lane [q, E] FMAs
-    tmp = [
-        [
-            [
-                [
-                    sum(D[k, i, m, j] * Jinv[b][m] for m in range(d))
-                    for j in range(s)
-                ]
-                for b in range(d)
-            ]
-            for i in range(s)
-        ]
-        for k in range(d)
-    ]
-    ft = [
-        [
-            [
-                [
-                    wdet * sum(Jinv[a][k] * tmp[k][i][b][j] for k in range(d))
-                    for j in range(s)
-                ]
-                for b in range(d)
-            ]
-            for i in range(s)
-        ]
-        for a in range(d)
-    ]
     # constant projector W[(a,b,q),(n,p)] in the K-major order the stacks
     # below produce (host f64, cast once)
     Wc = jnp.asarray(
         np.einsum("qna,qpb->abqnp", dphi, dphi).reshape(d * d * q, n * n),
         dtype=dtype,
     )
-    return _ft_pieces_to_matrices(ft, Wc, op, s, d, n, E, out_layout)
+    # stacked Jinv: Jm[a, k, q, E]; the quadrature weight folds into the
+    # copy used by the OUTER contraction only (lhs is bilinear in Jinv)
+    Jm = jnp.stack([jnp.stack(Jinv[a], 0) for a in range(d)], 0)
+    Jmw = Jm * wdet
+    if const_D:
+        # D is independent of ∇u and position: evaluate once per element
+        # at G = 0 ([d, s, d, s, E]) and never materialize the
+        # [d, s, d, s, q, E] stack — ~2/3 of the non-matmul HBM traffic
+        # of this path at hex20 (round-4 profile)
+        from .local_em import params_to_element_minor
+
+        params_em = params_to_element_minor(params, E)
+        D = _pointwise_map(
+            lambda Gp, p: op.contraction(Gp, p), params_em, 1, (E,)
+        )(jnp.zeros((d, s, E), dtype=dtype), params_em)  # [d, s, d, s, E]
+    else:
+        params_qe = _params_to_qe(params, E, q)
+        D = _pointwise_map(
+            lambda Gp, p: op.contraction(Gp, p), params_qe, 2, (q, E)
+        )(G_qe, params_qe)  # [d, s, d, s, q, E]
+
+    def lhs_pair(i, j):
+        # lhs[a,b] = wdet · Jinv[a,k] C[k,m] Jinv[b,m] with
+        # C = 0.5·(D[k,i,m,j] + D[m,j,k,i]) for symmetric operators (the
+        # Ft-pair average of _ft_pieces_to_matrices, reassociated inside
+        # the contraction — identical values), C = D[:, i, :, j] otherwise.
+        if op.symmetric:
+            C = 0.5 * (D[:, i, :, j] + jnp.swapaxes(D[:, j, :, i], 0, 1))
+        else:
+            C = D[:, i, :, j]
+        if const_D:
+            t = _einsum("kme,bmqe->kbqe", C, Jm)
+        else:
+            t = _einsum("kmqe,bmqe->kbqe", C, Jm)
+        lhs = _einsum("akqe,kbqe->abqe", Jmw, t)
+        return lhs.reshape(d * d * q, E)
+
+    em = out_layout == "em"
+    pieces = [[None] * s for _ in range(s)]
+    for i in range(s):
+        for j in range(s):
+            if op.symmetric and j < i:
+                continue
+            lhs = lhs_pair(i, j)
+            if em:
+                # element-minor: out [n², E] — M = n², N = E on the MXU;
+                # the element axis never leaves lanes
+                pieces[i][j] = _einsum("ke,kn->ne", lhs, Wc).reshape(n, n, E)
+            else:
+                pieces[i][j] = _einsum("ke,kn->en", lhs, Wc).reshape(E, n, n)
+    return _pieces_to_matrices(pieces, op, s, n, E, out_layout)
 
 
 def _ft_pieces_to_matrices(ft, Wc, op, s, d, n, E, out_layout):
@@ -538,6 +560,19 @@ def _ft_pieces_to_matrices(ft, Wc, op, s, d, n, E, out_layout):
                 pieces[i][j] = _einsum("ke,kn->ne", lhs, Wc).reshape(n, n, E)
             else:
                 pieces[i][j] = _einsum("ke,kn->en", lhs, Wc).reshape(E, n, n)
+    return _pieces_to_matrices(pieces, op, s, n, E, out_layout)
+
+
+def _pieces_to_matrices(pieces, op, s, n, E, out_layout):
+    """Interleave per-(i, j) blocks into element matrices.
+
+    ``pieces[i][j]``: ``[n, n, E]`` (em) or ``[E, n, n]``.  For symmetric
+    operators only ``i <= j`` is populated; the diagonal blocks are
+    re-symmetrized exactly (their lhs is (a, b)-symmetric by construction,
+    so this only cancels summation-order roundoff) and the lower triangle
+    mirrors the upper.
+    """
+    em = out_layout == "em"
     tp = (lambda P: jnp.transpose(P, (1, 0, 2))) if em else (
         lambda P: jnp.transpose(P, (0, 2, 1))
     )

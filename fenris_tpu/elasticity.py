@@ -42,6 +42,12 @@ from .sparse.cg import conjugate_gradient
 
 __all__ = ["HyperelasticModel"]
 
+# streaming band assembly: per-chunk [n*chunk, R] expansion transient
+# budget and chunk floor (see _dia_stream_chunks; module-level so tests
+# can exercise the dedicated-copy branch at toy sizes)
+_STREAM_EXPAND_BUDGET_BYTES = 6e8
+_STREAM_CHUNK_FLOOR = 8192
+
 
 @dataclass
 class HyperelasticModel:
@@ -688,6 +694,13 @@ class HyperelasticModel:
                     self.mesh.dim,
                     max_diagonals=max_diagonals,
                     min_fill=min_fill,
+                    # models that will stream the assembly never read the
+                    # [E, n, n] slot table on the fast path — keep it off
+                    # the device (847 MB at 3.3M hex8)
+                    host_base=(
+                        self.chunk_size is not None
+                        and self.mesh.num_cells > self.chunk_size
+                    ),
                 )
             # a band costs s*s*N values regardless of population: a mesh
             # without a bandwidth-reducing node ordering explodes D (up to
@@ -787,30 +800,71 @@ class HyperelasticModel:
         )
 
     def _dia_stream_chunks(self, expand):
-        """Chunked ``(cols, class_mask)`` aligned with :meth:`_chunked`'s
-        element padding (repeat-first + valid mask)."""
+        """All scan inputs for the streamed band assembly, chunked at the
+        streaming chunk size.
+
+        The stream chunk is capped so the per-chunk ``[n·chunk, R]``
+        expansion transient stays ~0.5 GB: at the hex8 auto chunk
+        (~260k elements) it is 2 GB, which — on top of the double-buffered
+        ``[N, R]`` carry and the resident model/plan state — ran the
+        10.1M-dof assembly out of HBM (round 4, res=149).  When the cap
+        bites, dedicated padded copies of (X_geo, dofs, valid) are built at
+        the stream chunk; otherwise :meth:`_chunked`'s cache is reused.
+        Returns ``(Xc, dofc, validc, colsc, maskc, per_el)``.
+        """
         cache = getattr(self, "_dia_stream_cache", None)
         if cache is not None and cache[0] is expand:
-            return cache[1], cache[2]
-        c = self.chunk_size
+            return cache[1]
+        n = self.mesh.element.num_nodes
+        R = int(expand.M.shape[-1])
+        itemsize = np.dtype(self.space.X_geo.dtype).itemsize
+        cap = max(
+            _STREAM_CHUNK_FLOOR, int(_STREAM_EXPAND_BUDGET_BYTES // (n * R * itemsize))
+        )
+        c = min(self.chunk_size, cap)
         E = self.mesh.num_cells
         pad = (-E) % c
-        cols = np.asarray(expand.cols)
+
+        def chunk_np(a, pad_mode):
+            a = np.asarray(a)
+            if pad:
+                tail = (
+                    np.repeat(a[:1], pad, axis=0)
+                    if pad_mode == "edge"
+                    else np.zeros((pad, *a.shape[1:]), a.dtype)
+                )
+                a = np.concatenate([a, tail], axis=0)
+            return jnp.asarray(a.reshape(a.shape[0] // c, c, *a.shape[1:]))
+
+        if c == self.chunk_size:
+            Xc, dofc, validc = self._chunked()
+        else:
+            Xc = chunk_np(self.space.X_geo, "edge")
+            dofc = chunk_np(self.space.dofs, "edge")
+            validc = chunk_np(
+                np.ones(E, dtype=np.dtype(self.space.X_geo.dtype)), "zero"
+            )
+        colsc = chunk_np(expand.cols, "edge")
         mask = np.asarray(expand.class_mask)
         if pad:
-            # padded elements repeat element 0's rows; their values are
-            # zeroed by the valid mask so the scatter adds exact zeros
-            cols = np.concatenate([cols, np.repeat(cols[:1], pad, axis=0)], axis=0)
             mask = np.concatenate(
                 [mask, np.zeros((mask.shape[0], pad), mask.dtype)], axis=1
             )
-        k = cols.shape[0] // c
-        colsc = jnp.asarray(cols.reshape(k, c, cols.shape[1]))
         maskc = jnp.asarray(
-            np.moveaxis(mask.reshape(mask.shape[0], k, c), 1, 0)
+            np.moveaxis(mask.reshape(mask.shape[0], -1, c), 1, 0)
         )  # [k, C, c]
-        self._dia_stream_cache = (expand, colsc, maskc)
-        return colsc, maskc
+        if self.params is None:
+            per_el = ()
+        else:
+            leaves, _ = jax.tree_util.tree_flatten(self.params)
+            per_el = tuple(
+                chunk_np(x, "edge")
+                for x in leaves
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == E
+            )
+        out = (Xc, dofc, validc, colsc, maskc, per_el)
+        self._dia_stream_cache = (expand, out)
+        return out
 
     def _params_subset(self, idx):
         """``self.params`` restricted to the elements in ``idx`` (leaves
@@ -846,9 +900,12 @@ class HyperelasticModel:
         N, D, kr = plan.num_nodes, plan.num_diagonals, plan.rem_k
         R = expand.M.shape[-1]
         dtype = self.space.X_geo.dtype
-        Xc, dofc, validc = self._chunked()
-        treedef, leaves, flags, per_el = self._chunked_params()
-        colsc, maskc = self._dia_stream_chunks(expand)
+        Xc, dofc, validc, colsc, maskc, per_el = self._dia_stream_chunks(expand)
+        leaves, treedef = jax.tree_util.tree_flatten(self.params)
+        E = self.mesh.num_cells
+        flags = [
+            hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == E for x in leaves
+        ]
         Md = jnp.asarray(expand.M, dtype)
         u2 = u.astype(dtype)
 

@@ -207,6 +207,7 @@ def block_dia_assembly_plan(
     *,
     max_diagonals: Optional[int] = None,
     min_fill: float = 0.0,
+    host_base: bool = False,
 ) -> BlockDiaAssemblyPlan:
     """Build a direct element→block-DIA assembly plan from mesh cells.
 
@@ -281,7 +282,15 @@ def block_dia_assembly_plan(
         offsets=tuple(int(o) for o in offsets),
         num_nodes=N,
         solution_dim=s,
-        base=jnp.asarray(base.reshape(E, n, n).astype(idt)),
+        # host_base keeps the [E, n, n] slot table host-resident (847 MB
+        # HBM at 3.3M hex8) for callers whose fast path never reads it
+        # (the streamed expand assembly); jit arg conversion uploads it on
+        # the rare slow/flat-scatter use
+        base=(
+            base.reshape(E, n, n).astype(idt)
+            if host_base
+            else jnp.asarray(base.reshape(E, n, n).astype(idt))
+        ),
         rem_neighbors=None if kr == 0 else jnp.asarray(rem_neighbors),
         rem_k=kr,
         fill=float(fill),

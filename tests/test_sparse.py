@@ -735,6 +735,20 @@ def test_block_dia_streamed_assembly_matches_materialized(rng):
         np.asarray(m_str.bands), np.asarray(m_ref.bands), rtol=1e-12, atol=1e-12
     )
 
+    # stream-chunk cap branch: when chunk_size exceeds the expansion
+    # budget, streaming builds dedicated smaller-chunk copies
+    import fenris_tpu.elasticity as EL
+
+    old = EL._STREAM_EXPAND_BUDGET_BYTES, EL._STREAM_CHUNK_FLOOR
+    EL._STREAM_EXPAND_BUDGET_BYTES, EL._STREAM_CHUNK_FLOOR = 1.0, 7
+    try:
+        m_cap = build(chunk_size=33).assemble_hessian_block_dia(u)
+    finally:
+        EL._STREAM_EXPAND_BUDGET_BYTES, EL._STREAM_CHUNK_FLOOR = old
+    np.testing.assert_allclose(
+        np.asarray(m_cap.bands), np.asarray(m_ref.bands), rtol=1e-12, atol=1e-12
+    )
+
     # capped diagonals: remainder spill + slow-element fallback through the
     # streamed route must still reproduce the materialized result
     m_ref7 = build().assemble_hessian_block_dia(u, max_diagonals=7)

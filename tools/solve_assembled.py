@@ -58,6 +58,10 @@ def main() -> None:
         dirichlet_nodes=fixed,
         body_force=lambda x, p: jnp.array([0.0, 0.0, -4.0], dtype=x.dtype),
         dtype=jnp.float32,
+        # match the streaming-assembly chunk cap so _chunked() is the
+        # streaming chunking (no duplicate padded copies; see
+        # HyperelasticModel._dia_stream_chunks)
+        chunk_size=65536,
     )
     plan = model.block_dia_plan()
     log(
