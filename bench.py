@@ -81,7 +81,15 @@ V5E_F32_HIGHEST_TFLOPS = V5E_BF16_TFLOPS / 6.0
 
 
 def stiffness_roofline(
-    name: str, q: int, n: int, m: int, s: int, d: int, rate: float, affine: bool = False
+    name: str,
+    q: int,
+    n: int,
+    m: int,
+    s: int,
+    d: int,
+    rate: float,
+    affine: bool = False,
+    symmetric: bool = True,
 ):
     """Roofline fractions for the element-stiffness kernel (BASELINE.md:45).
 
@@ -107,7 +115,9 @@ def stiffness_roofline(
     bytes_el = 4.0 * (3 * m + (n * s) ** 2)
     flops_ideal = 2.0 * q * n * d * d * s * s + 2.0 * q * d * (n * s) ** 2
     K = d * d * (1 if affine else q)
-    flops_algo = 6.0 * 2.0 * n * n * K  # 6 symmetric (i, j) blocks
+    # symmetric operators compute s(s+1)/2 of the s² (i, j) blocks
+    nblocks = s * (s + 1) // 2 if symmetric else s * s
+    flops_algo = nblocks * 2.0 * n * n * K
     t_mem = bytes_el / (V5E_HBM_GBPS * 1e9)
     t_ideal = max(t_mem, flops_ideal / (V5E_F32_HIGHEST_TFLOPS * 1e12))
     t_algo = max(t_mem, flops_algo / (V5E_F32_HIGHEST_TFLOPS * 1e12))

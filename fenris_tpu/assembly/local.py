@@ -604,7 +604,14 @@ def _affine_geometry(tab: Tabulation) -> bool:
 def _has_per_point_params(params, E: int, q: int) -> bool:
     """True if any parameter leaf carries a per-quadrature-point axis
     (``[E, q, ...]`` or leading ``[q, ...]`` — the :func:`_vmap2`
-    classification; per-element wins the E == q ambiguity)."""
+    classification; per-element wins the E == q ambiguity).
+
+    When ``E == q`` a leading-``E`` leaf is *ambiguous* (a per-point
+    ``[q, ...]`` leaf is indistinguishable from a per-element one): return
+    True with a warning so the constant-contraction fast paths — which
+    would silently bake in the per-element interpretation — stay off and
+    the general path (whose per-element resolution is documented) runs
+    instead (advisor r4)."""
     if params is None:
         return False
     found = False
@@ -613,6 +620,17 @@ def _has_per_point_params(params, E: int, q: int) -> bool:
             continue
         if x.shape[0] == E:
             if x.ndim >= 2 and x.shape[1] == q:
+                found = True
+            elif E == q:
+                import warnings
+
+                warnings.warn(
+                    f"parameter leaf with leading axis {E} is ambiguous "
+                    f"(num_cells == num_quadrature_points == {E}): it is "
+                    "interpreted as per-element; the constant-contraction "
+                    "fast path is disabled for this call",
+                    stacklevel=3,
+                )
                 found = True
         elif x.shape[0] == q:
             found = True

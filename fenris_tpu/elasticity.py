@@ -790,6 +790,17 @@ class HyperelasticModel:
             # inside one scan (round-4 HBM fix for the 10M-dof assembled
             # solve, tools/solve_assembled.py)
             return self._assemble_block_dia_streamed(u, plan, expand)
+        if isinstance(plan.base, np.ndarray):
+            # host_base was chosen for the streamed path, but this model
+            # ended up on the flat scatter (e.g. band_expand_plan returned
+            # None on an irregular mesh): upload the [E, n, n] slot table
+            # once instead of re-converting it through jit arguments every
+            # Newton iterate (~1 GB at 3.3M hex8; advisor r4)
+            dev = getattr(self, "_dia_base_device", None)
+            if dev is None or dev[0] is not plan.base:
+                dev = (plan.base, jax.device_put(plan.base))
+                self._dia_base_device = dev
+            plan = plan._replace(base=dev[1])
         mat_chunk = self.chunk_size if self.chunk_size is not None else None
         if mat_chunk is None and E * nd * nd > 2**27:
             mat_chunk = 8192  # bound the 6-D contraction transients
@@ -916,13 +927,16 @@ class HyperelasticModel:
         if run is None:
             op, tab = self.operator, self.tab
 
-            def run_impl(u2, Xc, dofc, validc, colsc, maskc, Md, per_el):
+            def run_impl(u2, Xc, dofc, validc, colsc, maskc, Md, per_el, consts):
                 def body(acc, xs):
                     Xg, dofs, valid, cb, mb, *pls = xs
                     it = iter(pls)
-                    merged = [
-                        next(it) if f else x for x, f in zip(leaves, flags)
-                    ]
+                    ic = iter(consts)
+                    # non-per-element leaves ride in as jit arguments too:
+                    # closing over device-array leaves would embed them as
+                    # HLO constants (the closure-constant slow path /
+                    # program-size blowup CLAUDE.md flags; advisor r4)
+                    merged = [next(it) if f else next(ic) for f in flags]
                     p = jax.tree_util.tree_unflatten(treedef, merged)
                     u_el = u2[dofs].reshape(-1, n, s)
                     A_em = L.assemble_element_elliptic_matrices_em(
@@ -945,20 +959,32 @@ class HyperelasticModel:
                 return jnp.transpose(bandsT)
 
             run = fns[(N, R)] = jax.jit(run_impl)
-        bands = run(u2, Xc, dofc, validc, colsc, maskc, Md, tuple(per_el))
+        consts = tuple(x for x, f in zip(leaves, flags) if not f)
+        bands = run(u2, Xc, dofc, validc, colsc, maskc, Md, tuple(per_el), consts)
 
         total = (D + kr) * s * s * N
         rem_blocks = jnp.zeros((kr * s * s, N), dtype) if kr else None
         if expand.slow_idx is not None:
-            idx = np.asarray(expand.slow_idx)
-            Xs = self.space.X_geo[idx]
-            dofs_s = self.space.dofs[idx]
-            u_el = u2[dofs_s].reshape(-1, n, s)
-            A_s = L.assemble_element_elliptic_matrices_em(
-                Xs, u_el, self.operator, self._params_subset(idx), self.tab
-            )
-            A_s = jnp.transpose(A_s, (2, 0, 1))  # element-major, small set
-            flat = _scatter_dia_impl(A_s, plan.base[idx], total, s, N, 1)
+            idx_all = np.asarray(expand.slow_idx)
+            # band_expand_plan only guarantees >= 50% class coverage, so the
+            # slow subset can be O(E/2): chunk it like the streamed fast
+            # path so one call never materializes more than mat_chunk
+            # element matrices (advisor r4 — an unchunked call at 10M-dof
+            # scale reintroduces the HBM spike streaming exists to avoid)
+            mat_chunk = 8192
+            flat = jnp.zeros(total, dtype)
+            for lo in range(0, len(idx_all), mat_chunk):
+                idx = idx_all[lo : lo + mat_chunk]
+                Xs = self.space.X_geo[idx]
+                dofs_s = self.space.dofs[idx]
+                u_el = u2[dofs_s].reshape(-1, n, s)
+                A_s = L.assemble_element_elliptic_matrices_em(
+                    Xs, u_el, self.operator, self._params_subset(idx), self.tab
+                )
+                A_s = jnp.transpose(A_s, (2, 0, 1))  # element-major chunk
+                flat = flat + _scatter_dia_impl(
+                    A_s, plan.base[idx], total, s, N, 1
+                )
             bands = bands + flat[: D * s * s * N].reshape(D * s * s, N)
             if kr:
                 rem_blocks = flat[D * s * s * N :].reshape(kr * s * s, N)
