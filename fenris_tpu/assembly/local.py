@@ -421,12 +421,24 @@ def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation, out_layout:
     s = op.solution_dim
     gdphi = jnp.asarray(tab.geo_dphi, dtype=dtype)
     d = tab.geo_dphi.shape[2]
+    m = tab.geo_dphi.shape[1]
     n = tab.dphi.shape[1]
-    # jacobian entries as [q, E] vectors: J[i][j] = sum_m X[e,m,i] gd[q,m,j]
-    Jq = _einsum("emi,qmj->ijqe", X_geo, gdphi)  # [d, d, q, E]
+    # jacobian entries as [q, E] vectors: J[i][j] = sum_m X[e,m,i] gd[q,m,j].
+    # Unrolled outer-product accumulation, NOT an einsum: a tiny-contraction
+    # (K = m) einsum with an element batch axis lowers to E batched
+    # micro-matmuls whose (8, 128) tile padding is ~50x — measured 65 ms of
+    # the 73 ms hex20 assembly (round 5) against ~1 ms for the same math as
+    # full-lane VPU work.
     from .local_em import _inv_det, _pointwise_map
 
-    Jl = [[Jq[i, j] for j in range(d)] for i in range(d)]
+    X_em = jnp.transpose(X_geo, (1, 2, 0))  # [m, d, E]
+    Jl = [
+        [
+            sum(gdphi[:, mm, j][:, None] * X_em[mm, i][None, :] for mm in range(m))
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
     Jinv, det = _inv_det(Jl, d)  # lists of [q, E]
     w = jnp.asarray(tab.weights, dtype=dtype)
     wdet = w[:, None] * jnp.abs(det)  # [q, E]
@@ -467,10 +479,9 @@ def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation, out_layout:
         np.einsum("qna,qpb->abqnp", dphi, dphi).reshape(d * d * q, n * n),
         dtype=dtype,
     )
-    # stacked Jinv: Jm[a, k, q, E]; the quadrature weight folds into the
-    # copy used by the OUTER contraction only (lhs is bilinear in Jinv)
-    Jm = jnp.stack([jnp.stack(Jinv[a], 0) for a in range(d)], 0)
-    Jmw = Jm * wdet
+    # the quadrature weight folds into the copy of Jinv used by the OUTER
+    # contraction only (lhs is bilinear in Jinv)
+    Jmw = [[Jinv[a][k] * wdet for k in range(d)] for a in range(d)]
     if const_D:
         # D is independent of ∇u and position: evaluate once per element
         # at G = 0 ([d, s, d, s, E]) and never materialize the
@@ -493,16 +504,26 @@ def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation, out_layout:
         # C = 0.5·(D[k,i,m,j] + D[m,j,k,i]) for symmetric operators (the
         # Ft-pair average of _ft_pieces_to_matrices, reassociated inside
         # the contraction — identical values), C = D[:, i, :, j] otherwise.
+        # Unrolled d³-term loops over [q, E] (or [E]) vectors — see the
+        # jacobian note above for why these must not be einsums.
         if op.symmetric:
-            C = 0.5 * (D[:, i, :, j] + jnp.swapaxes(D[:, j, :, i], 0, 1))
+            C = [
+                [0.5 * (D[k, i, mm, j] + D[mm, j, k, i]) for mm in range(d)]
+                for k in range(d)
+            ]
         else:
-            C = D[:, i, :, j]
-        if const_D:
-            t = _einsum("kme,bmqe->kbqe", C, Jm)
-        else:
-            t = _einsum("kmqe,bmqe->kbqe", C, Jm)
-        lhs = _einsum("akqe,kbqe->abqe", Jmw, t)
-        return lhs.reshape(d * d * q, E)
+            C = [[D[k, i, mm, j] for mm in range(d)] for k in range(d)]
+        # t[k][b] = Σ_m C[k][m] Jinv[b][m]  ([q, E]; C is [E] when const_D)
+        t = [
+            [sum(C[k][mm] * Jinv[b][mm] for mm in range(d)) for b in range(d)]
+            for k in range(d)
+        ]
+        rows = [
+            sum(Jmw[a][k] * t[k][b] for k in range(d))
+            for a in range(d)
+            for b in range(d)
+        ]
+        return jnp.stack(rows, 0).reshape(d * d * q, E)
 
     em = out_layout == "em"
     pieces = [[None] * s for _ in range(s)]
