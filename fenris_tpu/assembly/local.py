@@ -391,6 +391,28 @@ def assemble_element_elliptic_matrices_em(X_geo, u_el, op, params, tab: Tabulati
     return _elliptic_matrices_mxu(X_geo, u_el, op, params, tab, out_layout="em")
 
 
+def assemble_element_elliptic_matrices_rows(X_geo, u_el, op, params, tab: Tabulation):
+    """Element matrices in **band-assembly row layout** ``[n, s·s·n, E]``.
+
+    Same values as :func:`assemble_element_elliptic_matrices_em` reordered:
+    entry ``[a, (i, j, b), e]`` is element ``e``'s matrix entry
+    ``((a, i), (b, j))`` — row-node major with an (i, j, b) payload, the
+    exact form the block-DIA row expansion consumes
+    (:func:`~fenris_tpu.sparse.block_dia.band_expand_plan`).  This is the
+    fastest TPU form: its tail is one major-axis concat of the per-(i, j)
+    MXU matmul outputs, where the interleaved "em" layout pays an extra
+    ~(ns)²·E sublane shuffle at ~25% of HBM peak (measured hex20 round 5:
+    5.9 vs 9.4 ms at 22k elements).
+    """
+    if (
+        getattr(op, "constant_contraction", False)
+        and _affine_geometry(tab)
+        and not _has_per_point_params(params, X_geo.shape[0], tab.num_points)
+    ):
+        return _elliptic_matrices_affine_const(X_geo, u_el, op, params, tab, "rows")
+    return _elliptic_matrices_mxu(X_geo, u_el, op, params, tab, out_layout="rows")
+
+
 def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation, out_layout: str = "e"):
     """MXU-shaped element-matrix assembly.
 
@@ -475,18 +497,22 @@ def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation, out_layout:
         )  # [d, s, q, E]
     # constant projector W[(a,b,q),(n,p)] in the K-major order the stacks
     # below produce (host f64, cast once)
-    Wc = jnp.asarray(
-        np.einsum("qna,qpb->abqnp", dphi, dphi).reshape(d * d * q, n * n),
-        dtype=dtype,
-    )
+    Wc_np = np.einsum("qna,qpb->abqnp", dphi, dphi).reshape(d * d * q, n * n)
+    Wc = jnp.asarray(Wc_np, dtype=dtype)
     # the quadrature weight folds into the copy of Jinv used by the OUTER
     # contraction only (lhs is bilinear in Jinv)
     Jmw = [[Jinv[a][k] * wdet for k in range(d)] for a in range(d)]
-    if const_D:
-        # D is independent of ∇u and position: evaluate once per element
-        # at G = 0 ([d, s, d, s, E]) and never materialize the
-        # [d, s, d, s, q, E] stack — ~2/3 of the non-matmul HBM traffic
-        # of this path at hex20 (round-4 profile)
+    if const_D and not _has_per_element_params(params, E):
+        # D is independent of ∇u, position AND element: evaluate once,
+        # unbatched — the C entries below become scalars (constant-folded
+        # by XLA) instead of [E] vectors, removing the [d,s,d,s,E] stack
+        # and its 81 slice reads from the element sweep entirely
+        D = op.contraction(jnp.zeros((d, s), dtype=dtype), params)
+    elif const_D:
+        # per-element params: evaluate once per element at G = 0
+        # ([d, s, d, s, E]) and never materialize the [d, s, d, s, q, E]
+        # stack — ~2/3 of the non-matmul HBM traffic of this path at
+        # hex20 (round-4 profile)
         from .local_em import params_to_element_minor
 
         params_em = params_to_element_minor(params, E)
@@ -525,63 +551,149 @@ def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation, out_layout:
         ]
         return jnp.stack(rows, 0).reshape(d * d * q, E)
 
-    em = out_layout == "em"
+    if out_layout == "rows":
+        # band-assembly layout [a, (i, j, b), E] — the form the block-DIA
+        # row expansion consumes (payload (i, j, b), see
+        # sparse/block_dia.band_expand_plan).  Its tail is ONE major-axis
+        # concat of matmul outputs; mirrored (i > j) blocks reuse the
+        # upper pair's lhs against a column-transposed projector copy
+        # (piece(j,i)[p,n] read as [n,p]) — no [n, n, E] transposes, no
+        # (p, j) sublane interleave.  This is the fast TPU form: the
+        # interleaved "em" layout costs one extra ~(ns)²·E shuffle that
+        # XLA:TPU runs at ~25% of HBM peak (and a row *gather* that would
+        # avoid it FAULTS the TPU worker when fused with this producer
+        # chain — repro'd round 5 with the perm as argument and behind an
+        # optimization_barrier; do not reintroduce it).
+        WcT = jnp.asarray(
+            Wc_np[:, (np.arange(n * n).reshape(n, n).T).ravel()], dtype=dtype
+        )
+        lhs_cache = {}
+        blocks = []
+        for i in range(s):
+            for j in range(s):
+                if op.symmetric:
+                    if i <= j:
+                        lhs = lhs_cache.setdefault((i, j), lhs_pair(i, j))
+                        P = _einsum("ke,kn->ne", lhs, Wc)
+                    else:
+                        P = _einsum("ke,kn->ne", lhs_cache[(j, i)], WcT)
+                else:
+                    P = _einsum("ke,kn->ne", lhs_pair(i, j), Wc)
+                blocks.append(P.reshape(n, 1, n, E))
+        return jnp.concatenate(blocks, 1).reshape(n, s * s * n, E)
+    if out_layout == "em":
+        # element-minor interleaved [(n i), (p j), E]: per pair out
+        # [n², E] — M = n², N = E on the MXU — then the (node, component)
+        # interleave via nested concats.  Prefer the "rows" layout above
+        # where the consumer allows: the interleave is a sublane-strided
+        # shuffle XLA:TPU runs at ~25% of HBM peak.
+        pieces = {}
+        for i in range(s):
+            for j in range(s):
+                if op.symmetric and j < i:
+                    continue
+                P = _einsum("ke,kn->ne", lhs_pair(i, j), Wc)
+                pieces[(i, j)] = P.reshape(n, n, E)
+        rows_i = []
+        for i in range(s):
+            blocks = []
+            for j in range(s):
+                if (i, j) in pieces:
+                    P = pieces[(i, j)]
+                else:
+                    # major symmetry of the elliptic integrand: the (j, i)
+                    # block is the (i, j) block transposed (lhs C is the
+                    # Ft-pair average)
+                    P = jnp.transpose(pieces[(j, i)], (1, 0, 2))
+                blocks.append(P[:, :, None, :])
+            rows_i.append(
+                jnp.concatenate(blocks, 2).reshape(n, n * s, E)[:, None]
+            )
+        return jnp.concatenate(rows_i, 1).reshape(n * s, n * s, E)
     pieces = [[None] * s for _ in range(s)]
     for i in range(s):
         for j in range(s):
             if op.symmetric and j < i:
                 continue
             lhs = lhs_pair(i, j)
-            if em:
-                # element-minor: out [n², E] — M = n², N = E on the MXU;
-                # the element axis never leaves lanes
-                pieces[i][j] = _einsum("ke,kn->ne", lhs, Wc).reshape(n, n, E)
-            else:
-                pieces[i][j] = _einsum("ke,kn->en", lhs, Wc).reshape(E, n, n)
+            pieces[i][j] = _einsum("ke,kn->en", lhs, Wc).reshape(E, n, n)
     return _pieces_to_matrices(pieces, op, s, n, E, out_layout)
 
 
-def _ft_pieces_to_matrices(ft, Wc, op, s, d, n, E, out_layout):
-    """Shared MXU tail: contract ``ft`` blocks against the constant
-    projector ``Wc`` and interleave the (node, component) blocks.
+def _has_per_element_params(params, E: int) -> bool:
+    """True if any parameter leaf carries a leading per-element axis."""
+    if params is None:
+        return False
+    return any(
+        hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == E
+        for x in jax.tree_util.tree_leaves(params)
+    )
 
-    ``ft[a][i][b][j]`` entries may carry any extra leading batch axes
-    (``[q, E]`` on the general path, ``[E]`` on the affine path) as long as
-    stacking the ``(a, b)`` pairs flattens to ``[K, E]`` with
-    ``K = Wc.shape[0]`` in (a, b, extra...) order.
 
-    Per (i, j): lhs [(a,b,...), E] consumed as-produced; M = E on the MXU.
-    For symmetric operators the integrand has major symmetry
-    (Ft[a,i,b,j] = Ft[b,j,a,i] — it is a second derivative), so the
-    (j, i) block is the (i, j) block transposed up to the symmetry
-    defect of the pointwise tangent D: compute only i <= j (6 of 9
-    matmuls at s=3), average the Ft pair to project out that defect,
-    and mirror — same integrals, exactly symmetric A by construction,
-    one third fewer MXU flops.
+def _ft_pieces_to_matrices(ft, W2h, op, s, d, n, E, out_layout, dtype):
+    """One-shot MXU tail for the affine path: a SINGLE
+    ``[s²d², E]ᵀ @ [s²d², (ns)²]`` matmul against a block-diagonal
+    projector whose columns bake in the (node, component) interleave.
+
+    ``ft[a][i][b][j]``: [E] vectors; ``W2h``: host ``[d, d, n, n]``
+    quadrature-summed reference projector.  K rows stack in (i, j, a, b)
+    order; projector column (n, i', p, j') is δ_ii' δ_jj' W2h[a, b, n, p],
+    so the matmul output IS the interleaved element matrix — no
+    stack/mirror/transpose tail (which cost ~6x the matmul itself and
+    dominated the round-4 kernel: 6.3 -> 0.7 ms at 70k tet10 on v5e).
+    The s² zero-block structure adds s× MXU flops, but with K = s²d² = 81
+    the kernel is bound by the output store, not the MXU.
+
+    For symmetric operators each row carries the Ft-pair average
+    0.5·(ft[a][i][b][j] + ft[b][j][a][i]) (major symmetry of the second
+    derivative), so A is symmetric to MXU reduction-order roundoff.
     """
-    K = Wc.shape[0]
-    em = out_layout == "em"
-    pieces = [[None] * s for _ in range(s)]
+    rows = []
     for i in range(s):
         for j in range(s):
-            if op.symmetric and j < i:
-                continue
-            if op.symmetric:
-                rows = [
-                    0.5 * (ft[a][i][b][j] + ft[b][j][a][i])
-                    for a in range(d)
-                    for b in range(d)
-                ]
-            else:
-                rows = [ft[a][i][b][j] for a in range(d) for b in range(d)]
-            lhs = jnp.stack(rows, 0).reshape(K, E)
-            if em:
-                # element-minor: out [n², E] — M = n², N = E on the MXU;
-                # the element axis never leaves lanes
-                pieces[i][j] = _einsum("ke,kn->ne", lhs, Wc).reshape(n, n, E)
-            else:
-                pieces[i][j] = _einsum("ke,kn->en", lhs, Wc).reshape(E, n, n)
-    return _pieces_to_matrices(pieces, op, s, n, E, out_layout)
+            for a in range(d):
+                for b in range(d):
+                    if op.symmetric:
+                        rows.append(0.5 * (ft[a][i][b][j] + ft[b][j][a][i]))
+                    else:
+                        rows.append(ft[a][i][b][j])
+    lhs = jnp.stack(rows, 0)  # [s²d², E]
+    W4 = jnp.asarray(_interleaved_projector(W2h, s, out_layout), dtype)
+    ns = n * s
+    if out_layout == "rows":
+        return _einsum("ke,kn->ne", lhs, W4).reshape(n, s * s * n, E)
+    if out_layout == "em":
+        return _einsum("ke,kn->ne", lhs, W4).reshape(ns, ns, E)
+    return _einsum("ke,kn->en", lhs, W4).reshape(E, ns, ns)
+
+
+def _interleaved_projector(W2h, s: int, layout: str) -> np.ndarray:
+    """Host ``[s²d², #cols]`` block-diagonal interleaved projector from the
+    ``[d, d, n, n]`` reference projector; columns are ordered (n, i, p, j)
+    for the interleaved "em" layout ((ns)² of them) or (n, i, j, p) for the
+    band-assembly "rows" layout.  Content-cached: built at trace time only,
+    but eager callers shouldn't rebuild it per element batch."""
+    key = (W2h.tobytes(), W2h.shape, s, layout)
+    hit = _interleaved_projector_cache.get(key)
+    if hit is not None:
+        return hit
+    d, _, n, _ = W2h.shape
+    if layout == "rows":
+        W4 = np.zeros((s, s, d, d, n, s, s, n), W2h.dtype)
+        for i in range(s):
+            for j in range(s):
+                W4[i, j, :, :, :, i, j, :] = W2h
+    else:
+        W4 = np.zeros((s, s, d, d, n, s, n, s), W2h.dtype)
+        for i in range(s):
+            for j in range(s):
+                W4[i, j, :, :, :, i, :, j] = W2h
+    W4 = np.ascontiguousarray(W4.reshape(s * s * d * d, s * s * n * n))
+    _interleaved_projector_cache[key] = W4
+    return W4
+
+
+_interleaved_projector_cache: dict = {}
 
 
 def _pieces_to_matrices(pieces, op, s, n, E, out_layout):
@@ -685,14 +797,29 @@ def _elliptic_matrices_affine_const(X_geo, u_el, op, params, tab: Tabulation, ou
     gd0 = np.asarray(tab.geo_dphi[0])  # [m, d] (q-independent)
     d = gd0.shape[1]
     n = tab.dphi.shape[1]
-    J = _einsum("emi,mj->ije", X_geo, jnp.asarray(gd0, dtype=dtype))  # [d, d, E]
-    Jl = [[J[i, j] for j in range(d)] for i in range(d)]
+    # unrolled outer-product jacobian — see the tiny-contraction einsum
+    # note in _elliptic_matrices_mxu
+    X_em = jnp.transpose(X_geo, (1, 2, 0))  # [m, d, E]
+    mgeo = X_geo.shape[1]
+    gd0d = jnp.asarray(gd0, dtype=dtype)
+    Jl = [
+        [
+            sum(gd0d[mm, j] * X_em[mm, i] for mm in range(mgeo))
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
     Jinv, det = _inv_det(Jl, d)  # lists of [E]
     adet = jnp.abs(det)
-    params_em = params_to_element_minor(params, E)
-    D = _pointwise_map(
-        lambda Gp, p: op.contraction(Gp, p), params_em, 1, (E,)
-    )(jnp.zeros((d, s, E), dtype=dtype), params_em)  # [d, s, d, s, E]
+    if not _has_per_element_params(params, E):
+        # element-independent contraction: unbatched scalar entries,
+        # constant-folded by XLA (no [d,s,d,s,E] stack / slice reads)
+        D = op.contraction(jnp.zeros((d, s), dtype=dtype), params)
+    else:
+        params_em = params_to_element_minor(params, E)
+        D = _pointwise_map(
+            lambda Gp, p: op.contraction(Gp, p), params_em, 1, (E,)
+        )(jnp.zeros((d, s, E), dtype=dtype), params_em)  # [d, s, d, s, E]
     tmp = [
         [
             [
@@ -721,11 +848,8 @@ def _elliptic_matrices_affine_const(X_geo, u_el, op, params, tab: Tabulation, ou
     ]
     w = np.asarray(tab.weights)
     dphi = np.asarray(tab.dphi)
-    W2 = jnp.asarray(
-        np.einsum("q,qna,qpb->abnp", w, dphi, dphi).reshape(d * d, n * n),
-        dtype=dtype,
-    )
-    return _ft_pieces_to_matrices(ft, W2, op, s, d, n, E, out_layout)
+    W2h = np.einsum("q,qna,qpb->abnp", w, dphi, dphi)  # [d, d, n, n] host
+    return _ft_pieces_to_matrices(ft, W2h, op, s, d, n, E, out_layout, dtype)
 
 
 def _chunked_elliptic_matrices(

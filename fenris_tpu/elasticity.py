@@ -39,6 +39,7 @@ from .operators import EllipticOperator
 from .optimize import NewtonResult, newton_line_search
 from .solid import HyperelasticMaterial, MaterialEllipticOperator
 from .sparse.cg import conjugate_gradient
+from .utils import hoist_closure
 
 __all__ = ["HyperelasticModel"]
 
@@ -939,11 +940,12 @@ class HyperelasticModel:
                     merged = [next(it) if f else next(ic) for f in flags]
                     p = jax.tree_util.tree_unflatten(treedef, merged)
                     u_el = u2[dofs].reshape(-1, n, s)
-                    A_em = L.assemble_element_elliptic_matrices_em(
+                    # rows layout [a, (i, j, b), e]: exactly the expansion
+                    # payload order — no reshuffle between assembly and
+                    # scatter
+                    vals = L.assemble_element_elliptic_matrices_rows(
                         Xg, u_el, op, p, tab
-                    )
-                    # [(a i), (b j), e] -> [a, (i b j), e]: contiguous
-                    vals = A_em.reshape(n, s * n * s, -1) * valid[None, None, :]
+                    ) * valid[None, None, :]
                     rows, ids = expand_rows_em_masked(vals, cb, mb, Md)
                     return (
                         acc
@@ -958,9 +960,22 @@ class HyperelasticModel:
                 )
                 return jnp.transpose(bandsT)
 
-            run = fns[(N, R)] = jax.jit(run_impl)
+            consts0 = tuple(x for x, f in zip(leaves, flags) if not f)
+            # hoist the tabulation/projector constants the element
+            # assembler builds at trace time into jit arguments —
+            # embedded constants take XLA:TPU's slow constant path
+            # (CLAUDE.md), which is why the solver entry points hoist too
+            conv, hconsts = hoist_closure(
+                run_impl, u2, Xc, dofc, validc, colsc, maskc, Md,
+                tuple(per_el), consts0,
+            )
+            run = fns[(N, R)] = (jax.jit(conv), hconsts)
+        jitted, hconsts = run
         consts = tuple(x for x, f in zip(leaves, flags) if not f)
-        bands = run(u2, Xc, dofc, validc, colsc, maskc, Md, tuple(per_el), consts)
+        bands = jitted(
+            u2, Xc, dofc, validc, colsc, maskc, Md, tuple(per_el), consts,
+            *hconsts,
+        )
 
         total = (D + kr) * s * s * N
         rem_blocks = jnp.zeros((kr * s * s, N), dtype) if kr else None

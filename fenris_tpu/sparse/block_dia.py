@@ -372,7 +372,11 @@ def band_expand_plan(
     ii, bb, jj = np.meshgrid(
         np.arange(s), np.arange(n), np.arange(s), indexing="ij"
     )
-    comp = ((ii * n + bb) * s + jj).ravel()  # vals layout: comp = (i, b, j)
+    # vals layout: comp = (i, j, b) — matches the element-minor "rows"
+    # assembler output [a, (i, j, b), E]
+    # (assembly/local.assemble_element_elliptic_matrices_rows), whose tail
+    # is a single major-axis concat on TPU
+    comp = ((ii * s + jj) * n + bb).ravel()
     M = np.zeros((C, n, n * s * s, D * s * s), np.float32)
     for ci, u in enumerate(order):
         sl = rows[first[u]].reshape(n, n)
@@ -394,9 +398,9 @@ def band_expand_plan(
 def expand_rows_em_masked(vals, cb, mb, Md):
     """Class-masked band-row expansion (shared kernel).
 
-    ``vals [n, s*n*s, e]``: element-matrix values in element-minor
-    (a, (i, b, j), e) order — exactly ``A_em.reshape(n, s*n*s, E)`` of the
-    element-minor assembler output.  ``cb [e, n]``: row node per
+    ``vals [n, s*s*n, e]``: element-matrix values in element-minor
+    (a, (i, j, b), e) order — exactly the output of
+    ``assemble_element_elliptic_matrices_rows``.  ``cb [e, n]``: row node per
     (element, a).  ``mb [C, e]``: class membership.  ``Md
     [C, n, s*n*s, R]``: 0/1 class expansion operators (value dtype).
     Returns ``(rows [n*e, R], ids [n*e])`` ready for one row
@@ -431,9 +435,9 @@ def _expand_scatter_impl(A_el, cols, class_mask, M, s: int, N: int, num_chunks: 
 
     def chunk_rows(Ab, cb, mb):
         A5 = Ab.reshape(-1, n, s, n, s)
-        # vals[a, comp, e] (element-minor); comp = (i, b, j) matches
+        # vals[a, comp, e] (element-minor); comp = (i, j, b) matches
         # band_expand_plan
-        vals = jnp.transpose(A5, (1, 2, 3, 4, 0)).reshape(n, s * n * s, -1)
+        vals = jnp.transpose(A5, (1, 2, 4, 3, 0)).reshape(n, s * s * n, -1)
         return expand_rows_em_masked(vals, cb, mb, Md)
 
     if num_chunks <= 1:
