@@ -9,7 +9,7 @@ shortcuts).  This tool measures exactly that on a refinement ladder of
 an RCM-reordered hex box (``rcm_refined_hierarchy``), then runs a full
 nonlinear Newton solve at the largest size with the MG preconditioner.
 
-Writes artifacts/unstructured_mg_r4.json.
+Writes artifacts/unstructured_mg_r5.json.
 
 Usage: python tools/solve_unstructured.py [coarse_res] [max_levels]
 """
@@ -113,7 +113,7 @@ def main() -> None:
     coarse = create_unit_box_uniform_hex_mesh_3d(coarse_res)
     result = {"device": str(jax.devices()[0]), "coarse_res": coarse_res, "cases": []}
     cases = []
-    path = Path(__file__).resolve().parent.parent / "artifacts" / "unstructured_mg_r4.json"
+    path = Path(__file__).resolve().parent.parent / "artifacts" / "unstructured_mg_r5.json"
     path.parent.mkdir(parents=True, exist_ok=True)
     for L in range(1, max_levels + 1):
         case = level_case(coarse, L)
