@@ -374,6 +374,13 @@ def test_element_matrices_em_layout_matches(upresent, rng):
     np.testing.assert_allclose(
         np.asarray(A_em), np.transpose(np.asarray(A), (1, 2, 0)), rtol=1e-12, atol=1e-12
     )
+    # band-assembly rows layout [a, (i, j, b), E]: same values reordered
+    E, n, s = mesh.num_cells, 8, 3
+    R = L.assemble_element_elliptic_matrices_rows(space.X_geo, u, mop, params, tab)
+    R_ref = np.transpose(
+        np.asarray(A).reshape(E, n, s, n, s), (1, 2, 4, 3, 0)
+    ).reshape(n, s * s * n, E)
+    np.testing.assert_allclose(np.asarray(R), R_ref, rtol=1e-12, atol=1e-12)
 
 
 def test_affine_constant_contraction_fast_path(rng):
@@ -430,6 +437,14 @@ def test_affine_constant_contraction_fast_path(rng):
     )
     np.testing.assert_allclose(
         np.asarray(A_em), np.transpose(np.asarray(A_e), (1, 2, 0)), rtol=1e-12, atol=1e-13
+    )
+    # per-ELEMENT params: the element-batched D branch (not the unbatched
+    # scalar-D fold) must produce the same integrals as the einsum path
+    pe = LameParameters(mu=jnp.asarray(rng.uniform(300, 400, E)), lam=577.0)
+    A_pe1 = L.assemble_element_elliptic_matrices(Xg, u, mop, pe, tab, layout="einsum")
+    A_pe2 = L.assemble_element_elliptic_matrices(Xg, u, mop, pe, tab, layout="mxu")
+    np.testing.assert_allclose(
+        np.asarray(A_pe1), np.asarray(A_pe2), rtol=5e-13, atol=1e-13
     )
     # per-qp params must NOT take the fast path (D would vary per point)
     pq = LameParameters(

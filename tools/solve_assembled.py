@@ -9,7 +9,7 @@ inner CG on the streaming band SpMV).  The final residual is re-verified
 in f64 on the host-independent path, and per-iteration telemetry is
 recorded.
 
-Writes artifacts/assembled_solve_r4.json.
+Writes artifacts/assembled_solve_r5.json.
 
 Usage:  python tools/solve_assembled.py [res (default 149)] [tolerance (default 1e-10)]
 """
@@ -116,7 +116,7 @@ def main() -> None:
         "true_rel_residual": true_r / r0,
         "tip_uz_min": float(np.asarray(result.x).reshape(-1, 3)[:, 2].min()),
     }
-    path = Path(__file__).resolve().parent.parent / "artifacts" / "assembled_solve_r4.json"
+    path = Path(__file__).resolve().parent.parent / "artifacts" / "assembled_solve_r5.json"
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_text(json.dumps(out, indent=1))
     print(json.dumps(out), flush=True)
