@@ -173,33 +173,55 @@ def bench_element_stiffness_roofline():
         # scalar-reduction chain would let the store fuse away and price
         # a kernel the model's (ns)^2 write term never ran (round-3
         # tet10 "roofline_fraction" 1.17 > 1).  The measured layout is
-        # the band-assembly "rows" form [n, s*s*n, E] — all (ns)² values,
+        # the component-pair form [s*s, n, n, E] — all (ns)² values,
         # exactly the model's write bytes, and the orientation the
-        # block-DIA row expansion consumes in production (the interleaved
-        # "em" form costs one extra (ns)²·E sublane shuffle at ~25% of
-        # HBM peak and is not on the assembled solve path).
+        # block-DIA row expansion consumes in production (any
+        # dof-interleaved form costs an extra (ns)²·E sublane shuffle at
+        # ~25% of HBM peak and is not on the assembled solve path).
         # The tabulated projector/basis constants ride in as jit
         # arguments via hoist_closure — embedded program constants take
         # XLA:TPU's slow constant path (CLAUDE.md; measured 1.7x at
         # tet10), which solver entry points avoid the same way.
+        from fenris_tpu.ops.stiffness_kernel import (
+            stiffness_pairs_pallas,
+            supports_stiffness_pallas,
+        )
         from fenris_tpu.utils import hoist_closure
 
-        def asm(Xg, u0=u0, tab=tab):
-            return L.assemble_element_elliptic_matrices_rows(
-                Xg, u0, mop, params, tab
-            )
+        s = d = 3
+        q = tab.num_points
+        use_pallas = supports_stiffness_pallas(
+            mop, params, tab, E, space.X_geo.dtype
+        )
+        if use_pallas:
+            # the fused Mosaic kernel consumes element-minor geometry
+            # (same bytes as [E, m, d]; steady-state callers pre-transpose
+            # once — a per-call minor-dim transpose costs ~40x its bytes)
+            m_geo = space.X_geo.shape[1]
+            Xop = jnp.transpose(
+                jnp.asarray(space.X_geo, jnp.float32), (1, 2, 0)
+            ).reshape(m_geo * 3, E)
 
-        conv, consts = hoist_closure(asm, space.X_geo)
+            def asm(Xf, tab=tab):
+                return stiffness_pairs_pallas(Xf, mop, params, tab)
+
+        else:
+            Xop = space.X_geo
+
+            def asm(Xg, u0=u0, tab=tab):
+                return L.assemble_element_elliptic_matrices_pairs(
+                    Xg, u0, mop, params, tab, pallas=False
+                )
+
+        conv, consts = hoist_closure(asm, Xop)
 
         def step(A_em, Xg, *cs):
             return conv(Xg + 1e-30 * A_em[0, 0, 0], *cs)
 
-        s = d = 3
-        q = tab.num_points
-        A0 = jnp.zeros((n, s * s * n, E), space.X_geo.dtype)
+        A0 = jnp.zeros((s * s, n * n, E), space.X_geo.dtype)
         # enough chained iterations that round-trip jitter (several ms over
         # the tunnel) stays well under the per-iteration signal
-        dt = device_loop_time(step, A0, 16, operands=(space.X_geo, *consts))
+        dt = device_loop_time(step, A0, 16, operands=(Xop, *consts))
         if L._affine_geometry(tab):
             # affine: ONE interleaved-projector matmul, K = s²d²
             algo_flops = 2.0 * (s * s * d * d) * (s * s * n * n)

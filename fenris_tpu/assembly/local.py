@@ -391,26 +391,46 @@ def assemble_element_elliptic_matrices_em(X_geo, u_el, op, params, tab: Tabulati
     return _elliptic_matrices_mxu(X_geo, u_el, op, params, tab, out_layout="em")
 
 
-def assemble_element_elliptic_matrices_rows(X_geo, u_el, op, params, tab: Tabulation):
-    """Element matrices in **band-assembly row layout** ``[n, s·s·n, E]``.
+def assemble_element_elliptic_matrices_pairs(
+    X_geo, u_el, op, params, tab: Tabulation, pallas=False
+):
+    """Element matrices in **component-pair layout** ``[s², n², E]``.
 
     Same values as :func:`assemble_element_elliptic_matrices_em` reordered:
-    entry ``[a, (i, j, b), e]`` is element ``e``'s matrix entry
-    ``((a, i), (b, j))`` — row-node major with an (i, j, b) payload, the
-    exact form the block-DIA row expansion consumes
-    (:func:`~fenris_tpu.sparse.block_dia.band_expand_plan`).  This is the
-    fastest TPU form: its tail is one major-axis concat of the per-(i, j)
-    MXU matmul outputs, where the interleaved "em" layout pays an extra
-    ~(ns)²·E sublane shuffle at ~25% of HBM peak (measured hex20 round 5:
-    5.9 vs 9.4 ms at 22k elements).
+    entry ``[i·s + j, a·n + b, e]`` is element ``e``'s matrix entry
+    ``((a, i), (b, j))``.  This is the fastest TPU form — the layout the
+    per-(i, j) projector matmuls produce natively, so its tail is one pure
+    axis-0 concat (any dof-interleaved layout pays an extra ~(ns)²·E
+    sublane shuffle at ~25% of HBM peak; measured hex20 round 5: 2.2 vs
+    6.5 vs 9.4 ms at 22k elements for pairs/rows/em).  The block-DIA row
+    expansion consumes it directly
+    (:func:`~fenris_tpu.sparse.block_dia.expand_rows_pairs_masked`).
+
+    ``pallas=True``/``"auto"`` dispatches the fused Mosaic kernel
+    (:mod:`~fenris_tpu.ops.stiffness_kernel`) for the
+    constant-contraction f32 TPU case (opt-in: with ``[E, m, d]`` input
+    the kernel's gain is spent on the per-call element-minor transpose —
+    callers holding element-minor geometry should call it directly).
+    ``False`` (default) is the XLA formulation, identical values to f32
+    roundoff.
     """
+    if pallas in ("auto", True):
+        from ..ops.stiffness_kernel import (
+            stiffness_pairs_pallas,
+            supports_stiffness_pallas,
+        )
+
+        if pallas is True or supports_stiffness_pallas(
+            op, params, tab, X_geo.shape[0], X_geo.dtype
+        ):
+            return stiffness_pairs_pallas(X_geo, op, params, tab)
     if (
         getattr(op, "constant_contraction", False)
         and _affine_geometry(tab)
         and not _has_per_point_params(params, X_geo.shape[0], tab.num_points)
     ):
-        return _elliptic_matrices_affine_const(X_geo, u_el, op, params, tab, "rows")
-    return _elliptic_matrices_mxu(X_geo, u_el, op, params, tab, out_layout="rows")
+        return _elliptic_matrices_affine_const(X_geo, u_el, op, params, tab, "pairs")
+    return _elliptic_matrices_mxu(X_geo, u_el, op, params, tab, out_layout="pairs")
 
 
 def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation, out_layout: str = "e"):
@@ -551,19 +571,21 @@ def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation, out_layout:
         ]
         return jnp.stack(rows, 0).reshape(d * d * q, E)
 
-    if out_layout == "rows":
-        # band-assembly layout [a, (i, j, b), E] — the form the block-DIA
-        # row expansion consumes (payload (i, j, b), see
-        # sparse/block_dia.band_expand_plan).  Its tail is ONE major-axis
-        # concat of matmul outputs; mirrored (i > j) blocks reuse the
-        # upper pair's lhs against a column-transposed projector copy
-        # (piece(j,i)[p,n] read as [n,p]) — no [n, n, E] transposes, no
-        # (p, j) sublane interleave.  This is the fast TPU form: the
-        # interleaved "em" layout costs one extra ~(ns)²·E shuffle that
-        # XLA:TPU runs at ~25% of HBM peak (and a row *gather* that would
-        # avoid it FAULTS the TPU worker when fused with this producer
-        # chain — repro'd round 5 with the perm as argument and behind an
-        # optimization_barrier; do not reintroduce it).
+    if out_layout == "pairs":
+        # component-pair-major layout [s², n, n, E]: block (i·s + j) holds
+        # the (row-node, col-node) matrix of component pair (i, j).  Its
+        # tail is a PURE axis-0 concat of the per-pair matmul outputs —
+        # the cheapest possible tail (no interleave, no transpose; any
+        # dof-interleaved layout costs an extra ~(ns)²·E sublane shuffle
+        # XLA:TPU runs at ~25% of HBM peak, and a row *gather* that would
+        # avoid that shuffle FAULTS the TPU worker when fused with this
+        # producer chain — repro'd round 5 with the perm as argument and
+        # behind an optimization_barrier; do not reintroduce it).
+        # Mirrored (i > j) blocks reuse the upper pair's lhs against a
+        # column-transposed projector copy (piece(j,i)[p,n] read as
+        # [n,p]), so all s² blocks materialize without [n, n, E]
+        # transposes.  The block-DIA row expansion consumes this form
+        # directly (sparse/block_dia.expand_rows_pairs_masked).
         WcT = jnp.asarray(
             Wc_np[:, (np.arange(n * n).reshape(n, n).T).ravel()], dtype=dtype
         )
@@ -579,8 +601,10 @@ def _elliptic_matrices_mxu(X_geo, u_el, op, params, tab: Tabulation, out_layout:
                         P = _einsum("ke,kn->ne", lhs_cache[(j, i)], WcT)
                 else:
                     P = _einsum("ke,kn->ne", lhs_pair(i, j), Wc)
-                blocks.append(P.reshape(n, 1, n, E))
-        return jnp.concatenate(blocks, 1).reshape(n, s * s * n, E)
+                blocks.append(P.reshape(1, n * n, E))
+        # flat (a, b) columns: splitting them to [s², n, n, E] is a
+        # sublane relayout XLA charges ~half the matmul time for
+        return jnp.concatenate(blocks, 0)
     if out_layout == "em":
         # element-minor interleaved [(n i), (p j), E]: per pair out
         # [n², E] — M = n², N = E on the MXU — then the (node, component)
@@ -660,8 +684,10 @@ def _ft_pieces_to_matrices(ft, W2h, op, s, d, n, E, out_layout, dtype):
     lhs = jnp.stack(rows, 0)  # [s²d², E]
     W4 = jnp.asarray(_interleaved_projector(W2h, s, out_layout), dtype)
     ns = n * s
-    if out_layout == "rows":
-        return _einsum("ke,kn->ne", lhs, W4).reshape(n, s * s * n, E)
+    if out_layout == "pairs":
+        # cols ordered (i, j, n, p): the [s²n², E] output IS the pairs
+        # layout after a free leading-dim split
+        return _einsum("ke,kn->ne", lhs, W4).reshape(s * s, n * n, E)
     if out_layout == "em":
         return _einsum("ke,kn->ne", lhs, W4).reshape(ns, ns, E)
     return _einsum("ke,kn->en", lhs, W4).reshape(E, ns, ns)
@@ -670,19 +696,19 @@ def _ft_pieces_to_matrices(ft, W2h, op, s, d, n, E, out_layout, dtype):
 def _interleaved_projector(W2h, s: int, layout: str) -> np.ndarray:
     """Host ``[s²d², #cols]`` block-diagonal interleaved projector from the
     ``[d, d, n, n]`` reference projector; columns are ordered (n, i, p, j)
-    for the interleaved "em" layout ((ns)² of them) or (n, i, j, p) for the
-    band-assembly "rows" layout.  Content-cached: built at trace time only,
-    but eager callers shouldn't rebuild it per element batch."""
+    for the interleaved "em" layout ((ns)² of them) or (i, j, n, p) for the
+    component-pair "pairs" layout.  Content-cached: built at trace time
+    only, but eager callers shouldn't rebuild it per element batch."""
     key = (W2h.tobytes(), W2h.shape, s, layout)
     hit = _interleaved_projector_cache.get(key)
     if hit is not None:
         return hit
     d, _, n, _ = W2h.shape
-    if layout == "rows":
-        W4 = np.zeros((s, s, d, d, n, s, s, n), W2h.dtype)
+    if layout == "pairs":
+        W4 = np.zeros((s, s, d, d, s, s, n, n), W2h.dtype)
         for i in range(s):
             for j in range(s):
-                W4[i, j, :, :, :, i, j, :] = W2h
+                W4[i, j, :, :, i, j, :, :] = W2h
     else:
         W4 = np.zeros((s, s, d, d, n, s, n, s), W2h.dtype)
         for i in range(s):

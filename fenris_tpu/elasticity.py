@@ -904,7 +904,7 @@ class HyperelasticModel:
         from .sparse.block_dia import (
             BlockDiaMatrix,
             _scatter_dia_impl,
-            expand_rows_em_masked,
+            expand_rows_pairs_masked,
         )
         from .sparse.block_ell import BlockEllMatrix
 
@@ -940,13 +940,13 @@ class HyperelasticModel:
                     merged = [next(it) if f else next(ic) for f in flags]
                     p = jax.tree_util.tree_unflatten(treedef, merged)
                     u_el = u2[dofs].reshape(-1, n, s)
-                    # rows layout [a, (i, j, b), e]: exactly the expansion
-                    # payload order — no reshuffle between assembly and
-                    # scatter
-                    vals = L.assemble_element_elliptic_matrices_rows(
+                    # pairs layout [(i, j), a, b, e]: the projector
+                    # matmuls' native output — no reshuffle between
+                    # assembly and scatter
+                    vals = L.assemble_element_elliptic_matrices_pairs(
                         Xg, u_el, op, p, tab
                     ) * valid[None, None, :]
-                    rows, ids = expand_rows_em_masked(vals, cb, mb, Md)
+                    rows, ids = expand_rows_pairs_masked(vals, cb, mb, Md)
                     return (
                         acc
                         + jax.ops.segment_sum(rows, ids, num_segments=N),

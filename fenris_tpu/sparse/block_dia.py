@@ -372,10 +372,10 @@ def band_expand_plan(
     ii, bb, jj = np.meshgrid(
         np.arange(s), np.arange(n), np.arange(s), indexing="ij"
     )
-    # vals layout: comp = (i, j, b) — matches the element-minor "rows"
-    # assembler output [a, (i, j, b), E]
-    # (assembly/local.assemble_element_elliptic_matrices_rows), whose tail
-    # is a single major-axis concat on TPU
+    # M payload order: comp = (i, j, b) per row-node a — reshaped to
+    # (a, (i, j), b, R) by expand_rows_pairs_masked to consume the
+    # component-pair assembler output [(i, j), a, b, E]
+    # (assembly/local.assemble_element_elliptic_matrices_pairs)
     comp = ((ii * s + jj) * n + bb).ravel()
     M = np.zeros((C, n, n * s * s, D * s * s), np.float32)
     for ci, u in enumerate(order):
@@ -395,25 +395,31 @@ def band_expand_plan(
     )
 
 
-def expand_rows_em_masked(vals, cb, mb, Md):
+def expand_rows_pairs_masked(vals, cb, mb, Md):
     """Class-masked band-row expansion (shared kernel).
 
-    ``vals [n, s*s*n, e]``: element-matrix values in element-minor
-    (a, (i, j, b), e) order — exactly the output of
-    ``assemble_element_elliptic_matrices_rows``.  ``cb [e, n]``: row node per
-    (element, a).  ``mb [C, e]``: class membership.  ``Md
-    [C, n, s*n*s, R]``: 0/1 class expansion operators (value dtype).
+    ``vals [s*s, n*n, e]``: element-matrix values in the component-pair
+    layout ((i, j), (a, b), e) — exactly the output of
+    ``assemble_element_elliptic_matrices_pairs`` (the native layout of
+    the per-pair projector matmuls; no reshuffle between assembly and
+    scatter).  ``cb [e, n]``: row node per (element, a).  ``mb [C, e]``:
+    class membership.  ``Md [C, n, s*n*s, R]``: 0/1 class expansion
+    operators (value dtype; payload order (i, j, b)).
     Returns ``(rows [n*e, R], ids [n*e])`` ready for one row
     ``segment_sum`` — consumed both by :func:`_expand_scatter_impl` and,
     per chunk, by the streaming fused assemble+scatter in
     :meth:`fenris_tpu.elasticity.HyperelasticModel.assemble_hessian_block_dia`
     (which never materializes the full ``[E, n*s, n*s]`` buffer)."""
     R = Md.shape[-1]
+    ss = vals.shape[0]
+    n = Md.shape[1]
+    vals4 = vals.reshape(ss, n, n, vals.shape[-1])
     exp = None
     for c in range(Md.shape[0]):
-        vc = vals * mb[c][None, None, :]
+        vc = vals4 * mb[c][None, None, None, :]
+        M4 = Md[c].reshape(n, ss, n, R)  # (a, (i, j), b, R)
         # exact: 0/1 operator, injective per (a, b) — no accumulation
-        e = _einsum("ace,acr->aer", vc, Md[c])
+        e = _einsum("pabe,apbr->aer", vc, M4)
         exp = e if exp is None else exp + e
     rows = exp.reshape(-1, R)  # a-major rows
     ids = jnp.transpose(cb).reshape(-1)
@@ -435,10 +441,9 @@ def _expand_scatter_impl(A_el, cols, class_mask, M, s: int, N: int, num_chunks: 
 
     def chunk_rows(Ab, cb, mb):
         A5 = Ab.reshape(-1, n, s, n, s)
-        # vals[a, comp, e] (element-minor); comp = (i, j, b) matches
-        # band_expand_plan
-        vals = jnp.transpose(A5, (1, 2, 4, 3, 0)).reshape(n, s * s * n, -1)
-        return expand_rows_em_masked(vals, cb, mb, Md)
+        # vals[(i, j), (a, b), e] (component-pair layout, flat)
+        vals = jnp.transpose(A5, (2, 4, 1, 3, 0)).reshape(s * s, n * n, -1)
+        return expand_rows_pairs_masked(vals, cb, mb, Md)
 
     if num_chunks <= 1:
         rows, ids = chunk_rows(A_el, cols, class_mask)

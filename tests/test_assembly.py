@@ -374,12 +374,12 @@ def test_element_matrices_em_layout_matches(upresent, rng):
     np.testing.assert_allclose(
         np.asarray(A_em), np.transpose(np.asarray(A), (1, 2, 0)), rtol=1e-12, atol=1e-12
     )
-    # band-assembly rows layout [a, (i, j, b), E]: same values reordered
+    # component-pair layout [(i, j), (a, b), E]: same values reordered
     E, n, s = mesh.num_cells, 8, 3
-    R = L.assemble_element_elliptic_matrices_rows(space.X_geo, u, mop, params, tab)
+    R = L.assemble_element_elliptic_matrices_pairs(space.X_geo, u, mop, params, tab)
     R_ref = np.transpose(
-        np.asarray(A).reshape(E, n, s, n, s), (1, 2, 4, 3, 0)
-    ).reshape(n, s * s * n, E)
+        np.asarray(A).reshape(E, n, s, n, s), (2, 4, 1, 3, 0)
+    ).reshape(s * s, n * n, E)
     np.testing.assert_allclose(np.asarray(R), R_ref, rtol=1e-12, atol=1e-12)
 
 
