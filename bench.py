@@ -22,6 +22,8 @@ no performance numbers (BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -600,6 +602,51 @@ def main() -> None:
         spmv_detail = {"error": _err(e)}
 
     elps = E / dt_hvp
+    full_detail = {
+        "elements": E,
+        "dofs": model.num_dofs,
+        "hvp_ms": round(dt_hvp * 1e3, 3),
+        "residual_ms": round(dt_res * 1e3, 3),
+        "residual_elements_per_sec": round(E / dt_res, 1),
+        "hvp_intensity": intensity,
+        "unstructured_banded": unstructured,
+        "assembled_newton": assembled_detail,
+        "spmv": spmv_detail,
+        "spmv_pallas_10m": spmv_10m_detail,
+        "element_stiffness_roofline": roofline_detail,
+        "baseline": "unstructured per-element gather/scatter path (reference-design translation), 1.3M el/s on this chip",
+        "device": str(jax.devices()[0]),
+    }
+    # Full detail to stderr + artifact file; the single stdout JSON line must
+    # stay COMPACT — the driver captures only a limited tail of stdout, and a
+    # multi-KB line gets its head (the "metric" key) truncated away
+    # (BENCH_r03/r04 both lost their headline this way).
+    print(json.dumps(full_detail, indent=1), file=sys.stderr)
+    try:
+        os.makedirs("artifacts", exist_ok=True)
+        with open("artifacts/bench_detail.json", "w") as f:
+            json.dump(full_detail, f, indent=1)
+    except OSError:
+        pass
+
+    def _g(d, *keys):
+        for k in keys:
+            d = d.get(k, {}) if isinstance(d, dict) else {}
+        return d if not isinstance(d, dict) or d else None
+
+    roof = roofline_detail if isinstance(roofline_detail, list) else []
+    summary = {
+        "hvp_ms": round(dt_hvp * 1e3, 3),
+        "banded_elps": _g(unstructured, "elements_per_sec"),
+        "asm_cg_ms": _g(assembled_detail, "cg_iteration_ms"),
+        "spmv_gbps_1m": _g(spmv_detail, "dia_pallas_gbps"),
+        "spmv_gbps_10m": _g(spmv_10m_detail, "dia_pallas_gbps"),
+        "stiff_algo_frac": {
+            r.get("case"): r.get("algo_fraction") for r in roof if isinstance(r, dict)
+        }
+        or None,
+        "detail_file": "artifacts/bench_detail.json",
+    }
     print(
         json.dumps(
             {
@@ -607,21 +654,7 @@ def main() -> None:
                 "value": round(elps, 1),
                 "unit": "elements/sec",
                 "vs_baseline": round(elps / GATHER_PATH_ANCHOR_ELPS, 2),
-                "detail": {
-                    "elements": E,
-                    "dofs": model.num_dofs,
-                    "hvp_ms": round(dt_hvp * 1e3, 3),
-                    "residual_ms": round(dt_res * 1e3, 3),
-                    "residual_elements_per_sec": round(E / dt_res, 1),
-                    "hvp_intensity": intensity,
-                    "unstructured_banded": unstructured,
-                    "assembled_newton": assembled_detail,
-                    "spmv": spmv_detail,
-                    "spmv_pallas_10m": spmv_10m_detail,
-                    "element_stiffness_roofline": roofline_detail,
-                    "baseline": "unstructured per-element gather/scatter path (reference-design translation), 1.3M el/s on this chip",
-                    "device": str(jax.devices()[0]),
-                },
+                "detail": {k: v for k, v in summary.items() if v is not None},
             }
         )
     )

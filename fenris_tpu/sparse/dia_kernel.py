@@ -38,6 +38,7 @@ import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax._src.config import enable_x64  # context manager (jax 0.9: not re-exported)
 from jax.experimental import pallas as pl
@@ -89,6 +90,11 @@ def _pick_lanes(s: int, dp: int, num_nodes: int) -> int:
 def pack_block_dia(m: BlockDiaMatrix, lanes: Optional[int] = None) -> PackedDia:
     """Repack bands into the kernel layout (one device copy).
 
+    The relayout is ONE fused row-gather + zero-pad program, so peak HBM
+    is input + output (~7.2 GB at 10M dofs) — the transpose-then-pad
+    formulation materialized two extra band-sized intermediates and OOM'd
+    the 16 GB chip during the 10M-dof assembled solve (round 5).
+
     The remainder (block-ELL spill) is not packed; callers add
     ``block_ell_matvec(m.remainder, v)`` separately (see
     :func:`block_dia_operator`).
@@ -97,15 +103,29 @@ def pack_block_dia(m: BlockDiaMatrix, lanes: Optional[int] = None) -> PackedDia:
     dp = _round_up(max(D, 1), 8)
     cn = int(lanes) if lanes is not None else _pick_lanes(s, dp, N)
     npad = _round_up(N, cn)
-    B = m.bands.reshape(D, s, s, N).transpose(1, 2, 0, 3)  # [i, j, d, N]
-    B = jnp.pad(B, ((0, 0), (0, 0), (0, dp - D), (0, npad - N)))
+    src = np.zeros(s * s * dp, np.int32)
+    keep = np.zeros(s * s * dp, bool)
+    for i in range(s):
+        for j in range(s):
+            for d_ in range(D):
+                src[(i * s + j) * dp + d_] = (d_ * s + i) * s + j
+                keep[(i * s + j) * dp + d_] = True
+    bands_k = _pack_impl(
+        m.bands, jnp.asarray(src), jnp.asarray(keep), int(npad)
+    )
     return PackedDia(
-        bands_k=B.reshape(s * s * dp, npad),
+        bands_k=bands_k,
         offsets=m.offsets,
         num_nodes=N,
         solution_dim=s,
         lanes=cn,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("npad",))
+def _pack_impl(bands, src, keep, npad: int):
+    out = jnp.where(keep[:, None], bands[src], jnp.zeros((), bands.dtype))
+    return jnp.pad(out, ((0, 0), (0, npad - bands.shape[1])))
 
 
 def _sweep_kernel(s: int, dp: int, b_ref, x_ref, o_ref):
