@@ -419,10 +419,41 @@ def bench_spmv(res: int = 69):
     # [s, N] vectors (sparse/dia_kernel.py) — node-major [N, s] views tile
     # their minor dim to 128 lanes (~42x amplified), so the kernel is only
     # fast in this layout
-    from fenris_tpu.sparse.dia_kernel import pack_block_dia, packed_dia_matvec_cm
+    from fenris_tpu.sparse.dia_kernel import (
+        pack_block_dia,
+        pack_block_dia_windowed,
+        packed_dia_matvec_cm,
+        packed_dia_matvec_wm,
+    )
 
-    packed = pack_block_dia(dia)
     x2_0 = jnp.ones((dia.solution_dim, dia.num_nodes), jnp.float32)
+
+    # production: the staging-free windowed sweep (halo-window DMA per
+    # chunk, shifted X block built in VMEM)
+    packedw = pack_block_dia_windowed(dia)
+
+    def dia_wm_step(x2, bands_k):
+        p = packedw._replace(bands_k=bands_k)
+        return x2 * 0.999 + 1e-12 * packed_dia_matvec_wm(p, x2)
+
+    dt_wm = device_loop_time(dia_wm_step, x2_0, 100, operands=(packedw.bands_k,))
+    # the legacy "effective" metric (8 B/nnz, cross-layout comparable)
+    # exceeds physical HBM here because the windowed kernel reads each x
+    # element ~wn/cn times, not once per nnz — so the HBM fraction is
+    # computed from REAL streamed bytes (bands + x pad/window + y)
+    bytes_real_wm = _windowed_real_bytes(packedw)
+    out.update(
+        dia_pallas_ms=round(dt_wm * 1e3, 3),
+        dia_pallas_gbps_eff=round(bytes_eff / dt_wm / 1e9, 2),
+        dia_pallas_real_gbps=round(bytes_real_wm / dt_wm / 1e9, 2),
+        hbm_fraction_dia_pallas=round(
+            bytes_real_wm / dt_wm / 1e9 / V5E_HBM_GBPS, 3
+        ),
+    )
+
+    # the round-4 staged kernel (separate [s*Dp, Npad] shift array), kept
+    # as the f64/large-bandwidth fallback
+    packed = pack_block_dia(dia)
 
     def dia_cm_step(x2, bands_k):
         p = packed._replace(bands_k=bands_k)
@@ -430,9 +461,8 @@ def bench_spmv(res: int = 69):
 
     dt_cm = device_loop_time(dia_cm_step, x2_0, 20, operands=(packed.bands_k,))
     out.update(
-        dia_pallas_ms=round(dt_cm * 1e3, 3),
-        dia_pallas_gbps=round(bytes_eff / dt_cm / 1e9, 2),
-        hbm_fraction_dia_pallas=round(bytes_eff / dt_cm / 1e9 / V5E_HBM_GBPS, 3),
+        dia_staged_ms=round(dt_cm * 1e3, 3),
+        dia_staged_gbps=round(bytes_eff / dt_cm / 1e9, 2),
     )
     dt_ell = device_loop_time(ell_step, v0, 10, operands=(ell.neighbors, ell.blocks))
     out.update(
@@ -465,6 +495,18 @@ def bench_spmv(res: int = 69):
     return out
 
 
+def _windowed_real_bytes(p) -> float:
+    """Real HBM bytes per windowed-sweep matvec: bands stream + x pad
+    staging (write L_pad rows, window re-reads) + y write."""
+    npad = -(-p.num_nodes // p.lanes) * p.lanes
+    nsteps = npad // p.lanes
+    bands = p.bands_k.shape[0] * npad * 4.0
+    x_pad = 8 * p.lpad * 4.0 + p.solution_dim * p.num_nodes * 4.0  # write + read
+    x_windows = nsteps * 8 * p.wn * 4.0
+    y = 8 * npad * 4.0
+    return bands + x_pad + x_windows + y
+
+
 def bench_spmv_pallas_10m(res: int = 149):
     """10M-dof block-DIA band-sweep SpMV (BASELINE.md:46 at the 10M end).
 
@@ -478,7 +520,10 @@ def bench_spmv_pallas_10m(res: int = 149):
     import jax.numpy as jnp
 
     from fenris_tpu.sparse.block_dia import BlockDiaMatrix
-    from fenris_tpu.sparse.dia_kernel import pack_block_dia, packed_dia_matvec_cm
+    from fenris_tpu.sparse.dia_kernel import (
+        pack_block_dia_windowed,
+        packed_dia_matvec_wm,
+    )
 
     nx = res + 1
     N = nx**3
@@ -488,23 +533,25 @@ def bench_spmv_pallas_10m(res: int = 149):
     )
     key = jax.random.PRNGKey(0)
     bands = jax.random.normal(key, (len(offs) * s * s, N), jnp.float32)
-    packed = pack_block_dia(BlockDiaMatrix(offs, bands, N, s, None))
-    del bands  # keep only the packed copy (~3.9 GB at res=149)
+    packed = pack_block_dia_windowed(BlockDiaMatrix(offs, bands, N, s, None))
+    del bands  # keep only the packed copy (~3.6 GB at res=149)
     x2_0 = jnp.ones((s, N), jnp.float32)
 
     def step(x2, bands_k):
         p = packed._replace(bands_k=bands_k)
-        return x2 * 0.999 + 1e-12 * packed_dia_matvec_cm(p, x2)
+        return x2 * 0.999 + 1e-12 * packed_dia_matvec_wm(p, x2)
 
-    dt = device_loop_time(step, x2_0, 20, operands=(packed.bands_k,))
+    dt = device_loop_time(step, x2_0, 30, operands=(packed.bands_k,))
     nnz = len(offs) * s * s * N
     bytes_eff = 8.0 * nnz + 8.0 * N * s
+    bytes_real = _windowed_real_bytes(packed)
     return {
         "dofs": N * s,
         "nnz": nnz,
         "dia_pallas_ms": round(dt * 1e3, 3),
-        "dia_pallas_gbps": round(bytes_eff / dt / 1e9, 2),
-        "hbm_fraction_dia_pallas": round(bytes_eff / dt / 1e9 / V5E_HBM_GBPS, 3),
+        "dia_pallas_gbps_eff": round(bytes_eff / dt / 1e9, 2),
+        "dia_pallas_real_gbps": round(bytes_real / dt / 1e9, 2),
+        "hbm_fraction_dia_pallas": round(bytes_real / dt / 1e9 / V5E_HBM_GBPS, 3),
     }
 
 
@@ -664,8 +711,9 @@ def main() -> None:
         "hvp_ms": round(dt_hvp * 1e3, 3),
         "banded_elps": _g(unstructured, "elements_per_sec"),
         "asm_cg_ms": _g(assembled_detail, "cg_iteration_ms"),
-        "spmv_gbps_1m": _g(spmv_detail, "dia_pallas_gbps"),
-        "spmv_gbps_10m": _g(spmv_10m_detail, "dia_pallas_gbps"),
+        "spmv_ms_1m": _g(spmv_detail, "dia_pallas_ms"),
+        "spmv_ms_10m": _g(spmv_10m_detail, "dia_pallas_ms"),
+        "spmv_real_gbps_10m": _g(spmv_10m_detail, "dia_pallas_real_gbps"),
         "stiff_algo_frac": {
             r.get("case"): r.get("algo_fraction") for r in roof if isinstance(r, dict)
         }

@@ -208,6 +208,187 @@ def packed_dia_matvec(p: PackedDia, v, *, interpret: bool = False):
     return out.T.reshape(-1)
 
 
+class PackedDiaW(NamedTuple):
+    """Windowed-kernel layout of a :class:`BlockDiaMatrix` (no remainder).
+
+    Row order is ``i*dps + d*s + j`` with ``dps = round_up(D*s, 8)`` —
+    the per-output-component blocks are 8-aligned and the per-diagonal
+    x rows land as contiguous ``[s, CN]`` groups, which is what lets the
+    kernel build the shifted X block in VMEM from one halo window
+    instead of a staged HBM array (see :func:`packed_dia_matvec_wm`).
+    """
+
+    bands_k: jnp.ndarray  # [s*dps, Npad]
+    offsets: Tuple[int, ...]
+    num_nodes: int
+    solution_dim: int
+    lanes: int  # CN
+    lo: int  # left halo = max(0, -min(offsets))
+    wn: int  # VMEM window width (>= CN + lo + hi, 128-multiple)
+
+    @property
+    def dps(self) -> int:
+        return self.bands_k.shape[0] // self.solution_dim
+
+    @property
+    def lpad(self) -> int:
+        npad = _round_up(self.num_nodes, self.lanes)
+        return (npad // self.lanes - 1) * self.lanes + self.wn
+
+
+# VMEM budget for the halo window [8, Wn] f32; beyond it (pathological
+# bandwidth after reordering) the staged kernel takes over
+_WINDOW_LANES_CAP = 512 * 1024
+
+
+def _pick_lanes_w(s: int, dps: int, num_nodes: int, halo: int = 0) -> int:
+    """Lane-chunk size for the windowed sweep.
+
+    Baseline ~24 MB of double-buffered band blocks (see
+    :func:`_pick_lanes`), widened toward halo/2 when the halo is large
+    (big-bandwidth meshes re-read x ``wn/cn`` times; at 10M dofs the
+    wider chunk measured 8.28 -> 7.58 ms), capped by the VMEM budget.
+    """
+    rows = s * dps + dps + 16
+    cn = (24 * 2**20 // (rows * 4 * 2)) // 128 * 128
+    cn = max(cn, _round_up(halo // 2, 128))
+    # full-kernel VMEM cap: bands double-buffer + X2 + the halo window
+    cap = (80 * 10**6 - 8 * 4 * halo) // ((s * dps * 2 + dps + 8) * 4)
+    cn = min(cn, max(128, cap // 128 * 128))
+    cn = max(128, min(31744, cn))
+    return min(cn, _round_up(num_nodes, 128))
+
+
+def pack_block_dia_windowed(
+    m: BlockDiaMatrix, lanes: Optional[int] = None
+) -> Optional[PackedDiaW]:
+    """Repack bands into the windowed-kernel layout, or ``None`` when the
+    halo window would not fit VMEM (bandwidth too large for the node
+    count).  One fused row-gather + zero-pad device program, like
+    :func:`pack_block_dia`.
+    """
+    D, s, N = m.num_diagonals, m.solution_dim, m.num_nodes
+    if D == 0:
+        return None
+    offsets = tuple(int(o) for o in m.offsets)
+    dps = _round_up(D * s, 8)
+    lo = max(0, -min(offsets))
+    hi = max(0, max(offsets))
+    cn = int(lanes) if lanes is not None else _pick_lanes_w(s, dps, N, lo + hi)
+    wn = _round_up(cn + lo + hi, 128)
+    if wn > _WINDOW_LANES_CAP:
+        return None
+    npad = _round_up(N, cn)
+    src = np.zeros(s * dps, np.int32)
+    keep = np.zeros(s * dps, bool)
+    for i in range(s):
+        for d in range(D):
+            for j in range(s):
+                src[i * dps + d * s + j] = (d * s + i) * s + j
+                keep[i * dps + d * s + j] = True
+    bands_k = _pack_impl(m.bands, jnp.asarray(src), jnp.asarray(keep), int(npad))
+    return PackedDiaW(bands_k, offsets, N, s, cn, lo, wn)
+
+
+def _sweep_kernel_w(
+    b_ref, xw_hbm, o_ref, w_scr, x2_scr, sem, *, s, dps, cn, lo, offs, wn
+):
+    step = pl.program_id(0)
+    # halo window DMA: x rows [xrows, wn] starting at lane step*cn (the
+    # source is HBM-resident via memory_space=ANY; lane offsets are
+    # 128-aligned because cn is)
+    dma = pltpu.make_async_copy(
+        xw_hbm.at[:, pl.ds(step * cn, wn)], w_scr, sem
+    )
+    dma.start()
+    dma.wait()
+    D = len(offs)
+    # build X2 [dps, cn]: rows (d*s + j) = x[j, c + offs[d]]; the d*s row
+    # offsets are NOT 8-aligned — Mosaic handles the sublane-offset slice
+    # writes (measured fine at s=3, round 5)
+    for d in range(D):
+        x2_scr[pl.ds(d * s, s), :] = w_scr[pl.ds(0, s), pl.ds(lo + offs[d], cn)]
+    if dps > D * s:
+        # zero the alignment-pad rows once: their band rows are zero, but
+        # uninitialized scratch could hold NaN bit patterns (0*NaN = NaN)
+        x2_scr[pl.ds(D * s, dps - D * s), :] = jnp.zeros(
+            (dps - D * s, cn), x2_scr.dtype
+        )
+    X = x2_scr[:, :]
+    rows = [None] * o_ref.shape[0]
+    for i in range(s):
+        Bi = b_ref[i * dps : (i + 1) * dps, :]
+        rows[i] = jnp.sum(Bi * X, axis=0, keepdims=True)
+    for r in range(s, o_ref.shape[0]):
+        rows[r] = jnp.zeros((1, cn), o_ref.dtype)
+    o_ref[:] = jnp.concatenate(rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+def _sweep_call_w(bands_k, x_pad, meta, interpret=False):
+    s, dps, cn, lo, offs, wn, npad, xrows = meta
+    kernel = functools.partial(
+        _sweep_kernel_w, s=s, dps=dps, cn=cn, lo=lo, offs=offs, wn=wn
+    )
+    # 32-bit weak literals on the compiled f32 path (i64 literals fail
+    # Mosaic legalization); f64 runs interpret-only and must keep x64 on
+    import contextlib
+
+    ctx = (
+        enable_x64(False)
+        if bands_k.dtype == jnp.float32
+        else contextlib.nullcontext()
+    )
+    with ctx:
+        out = pl.pallas_call(
+            kernel,
+            grid=(npad // cn,),
+            in_specs=[
+                pl.BlockSpec((s * dps, cn), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((8, cn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, npad), bands_k.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((xrows, wn), bands_k.dtype),
+                pltpu.VMEM((dps, cn), bands_k.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(bands_k, x_pad)
+    return out
+
+
+_X_ROWS = 8  # HBM source rows for the window DMA (full f32 sublane tile)
+
+
+def packed_dia_matvec_wm(p: PackedDiaW, x2, *, interpret: bool = False):
+    """Component-major ``y2 [s, N] = A x2 [s, N]`` via the windowed sweep.
+
+    Unlike :func:`packed_dia_matvec_cm` there is NO staged ``[s*Dp, Npad]``
+    shift array: each grid step DMAs one halo window of x into VMEM and
+    builds the shifted block in-place.  At 1M dofs (hex8 box, D=27) that
+    staging was ~45% of the matvec's HBM traffic — measured 1.83 ms
+    staged vs 0.55 ms windowed (~88% of v5e HBM peak band streaming).
+    """
+    s, N = p.solution_dim, p.num_nodes
+    npad = _round_up(N, p.lanes)
+    xp = jnp.pad(
+        x2.astype(p.bands_k.dtype),
+        ((0, _X_ROWS - x2.shape[0]), (p.lo, p.lpad - p.lo - N)),
+    )
+    out = _sweep_call_w(
+        p.bands_k,
+        xp,
+        (s, p.dps, p.lanes, p.lo, p.offsets, p.wn, npad, _X_ROWS),
+        interpret=interpret,
+    )
+    return out[:s, :N].astype(x2.dtype)
+
+
 def _pallas_applicable(m: BlockDiaMatrix) -> bool:
     if jax.default_backend() != "tpu":
         return False
@@ -247,14 +428,22 @@ def block_dia_operator(m: BlockDiaMatrix, *, pallas="auto", lanes=None, layout: 
         return (lambda x2: block_dia_matvec_cm(m, x2)) if cm else (
             lambda v: block_dia_matvec(m, v)
         )
-    packed = pack_block_dia(m, lanes)
+    # prefer the staging-free windowed sweep (~3.3x the staged kernel at
+    # 1M dofs); falls back when the halo window would not fit VMEM
+    packedw = pack_block_dia_windowed(m, lanes)
+    packed = pack_block_dia(m, lanes) if packedw is None else None
     rem = m.remainder
+
+    def apply_cm(x2):
+        if packedw is not None:
+            return packed_dia_matvec_wm(packedw, x2)
+        return packed_dia_matvec_cm(packed, x2)
 
     if cm:
         from .block_ell import block_ell_matvec_cm
 
         def matvec_cm(x2):
-            y2 = packed_dia_matvec_cm(packed, x2)
+            y2 = apply_cm(x2)
             if rem is not None:
                 y2 = y2 + block_ell_matvec_cm(rem, x2)
             return y2
@@ -262,7 +451,8 @@ def block_dia_operator(m: BlockDiaMatrix, *, pallas="auto", lanes=None, layout: 
         return matvec_cm
 
     def matvec(v):
-        y = packed_dia_matvec(packed, v)
+        s, N = m.solution_dim, m.num_nodes
+        y = apply_cm(v.reshape(N, s).T).T.reshape(-1)
         if rem is not None:
             y = y + block_ell_matvec(rem, v)
         return y

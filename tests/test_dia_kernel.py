@@ -190,3 +190,53 @@ def test_assembled_operator_component_layout(rng):
     np.testing.assert_allclose(
         np.asarray(x_cm.x.T.reshape(-1)), np.asarray(x_nm.x), rtol=1e-7, atol=1e-9
     )
+
+
+def test_windowed_matvec_matches_xla(rng):
+    """Windowed (staging-free) sweep == XLA matvec, incl. multi-step grid
+    with halo windows crossing chunk boundaries."""
+    from fenris_tpu.sparse.dia_kernel import (
+        pack_block_dia_windowed,
+        packed_dia_matvec_wm,
+    )
+
+    model, m = _elasticity_dia(rng)
+    N, s = m.num_nodes, m.solution_dim
+    v = jnp.asarray(rng.standard_normal(model.space.num_dofs))
+    ref = np.asarray(block_dia_matvec(m, v)).reshape(N, s).T
+    for lanes in (None, 128):  # single-step and multi-step grids
+        p = pack_block_dia_windowed(m, lanes=lanes)
+        assert p is not None
+        assert p.dps % 8 == 0 and p.bands_k.shape[0] == s * p.dps
+        y2 = packed_dia_matvec_wm(p, v.reshape(N, s).T, interpret=True)
+        np.testing.assert_allclose(np.asarray(y2), ref, rtol=1e-12, atol=1e-12)
+
+
+def test_windowed_matvec_scalar_and_gate(rng):
+    """s=1 windowed layout; the VMEM-window gate returns None when the
+    bandwidth is pathologically large for the node count."""
+    from fenris_tpu.sparse.block_dia import BlockDiaMatrix
+    from fenris_tpu.sparse.dia_kernel import (
+        _WINDOW_LANES_CAP,
+        pack_block_dia_windowed,
+        packed_dia_matvec_wm,
+    )
+
+    N = 500
+    offsets = (-19, -5, -1, 0, 1, 5, 19)
+    bands = jnp.asarray(rng.standard_normal((len(offsets), N)))
+    m = BlockDiaMatrix(offsets, bands, N, 1, None)
+    v = jnp.asarray(rng.standard_normal(N))
+    ref = np.asarray(block_dia_matvec(m, v))
+    p = pack_block_dia_windowed(m, lanes=128)
+    y = packed_dia_matvec_wm(p, v.reshape(1, N), interpret=True)
+    np.testing.assert_allclose(np.asarray(y)[0], ref, rtol=1e-12, atol=1e-12)
+
+    huge = BlockDiaMatrix(
+        (-(_WINDOW_LANES_CAP + 256), 0, _WINDOW_LANES_CAP + 256),
+        jnp.zeros((3, N)),
+        N,
+        1,
+        None,
+    )
+    assert pack_block_dia_windowed(huge, lanes=128) is None

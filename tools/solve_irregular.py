@@ -29,7 +29,7 @@ economics phase and the matrix-free solve phase run on separate model
 instances and the assembled arrays are freed before the banded tables are
 built — round-4's first attempt kept both live and OOM'd at pack time.
 
-Writes artifacts/irregular_solve_r4.json.
+Writes artifacts/irregular_solve_r5.json.
 
 Usage: python tools/solve_irregular.py [refine_levels] [max_diagonals]
 """
@@ -102,6 +102,7 @@ def main() -> None:
 
     levels = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     max_diagonals = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    tolerance = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-9
 
     t0 = time.perf_counter()
     base = load_msh(
@@ -131,7 +132,7 @@ def main() -> None:
         dtype=jnp.float32,
     )
 
-    out_path = Path(__file__).resolve().parent.parent / "artifacts" / "irregular_solve_r4.json"
+    out_path = Path(__file__).resolve().parent.parent / "artifacts" / "irregular_solve_r5.json"
     out_path.parent.mkdir(parents=True, exist_ok=True)
     result = {"device": str(jax.devices()[0])}
 
@@ -311,7 +312,7 @@ def main() -> None:
     r0 = float(jnp.linalg.norm(model.residual(u0)))
     t0 = time.perf_counter()
     res = model.solve_mixed(
-        tolerance=1e-9,
+        tolerance=tolerance,
         cg_rel_tolerance=1e-4,
         cg_max_iter=3000,
         max_newton_iterations=25,
