@@ -310,10 +310,13 @@ def bench_assembled_newton(res: int = 63):
     # packed bands enter as jit arguments, as hoist_closure arranges in
     # the real solver (closure-constant bands would embed a ~250MB HLO
     # literal -> compiler 413s / slow-path)
-    from fenris_tpu.sparse.dia_kernel import pack_block_dia, packed_dia_matvec_cm
+    from fenris_tpu.sparse.dia_kernel import (
+        pack_block_dia_windowed,
+        packed_dia_matvec_wm,
+    )
 
     m0 = model.assemble_hessian_block_dia(u0)
-    packed = pack_block_dia(m0)
+    packed = pack_block_dia_windowed(m0)
     N = mesh.num_vertices
     free2 = model.free_mask.reshape(N, 3).T
     x2_0 = jnp.ones((3, N), jnp.float32)
@@ -321,7 +324,7 @@ def bench_assembled_newton(res: int = 63):
     def apply_step(x2, bands_k, free2):
         p = packed._replace(bands_k=bands_k)
         vm = jnp.where(free2, x2, 0.0)
-        y = jnp.where(free2, packed_dia_matvec_cm(p, vm), x2)
+        y = jnp.where(free2, packed_dia_matvec_wm(p, vm), x2)
         return y * 1e-6 + x2 * 0.999
 
     # band SpMV is ~ms-scale: chain enough iterations that the empty
