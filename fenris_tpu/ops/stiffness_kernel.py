@@ -133,7 +133,7 @@ def _kernel(xf_ref, gdw_ref, cf_ref, wc_ref, o_ref, scr_ref, *, m, d, s, n, q_pa
 
 
 @functools.lru_cache(maxsize=None)
-def _build_call(m, d, s, n, q, q_pad, E_pad, sym: bool):
+def _build_call(m, d, s, n, q, q_pad, E_pad, sym: bool, interpret: bool = False):
     pairs = tuple(
         (i, j) for i in range(s) for j in range(i if sym else 0, s) if (not sym) or i <= j
     )
@@ -155,10 +155,11 @@ def _build_call(m, d, s, n, q, q_pad, E_pad, sym: bool):
         out_specs=pl.BlockSpec((s * s, n * n, B), lambda e: (0, 0, e)),
         out_shape=jax.ShapeDtypeStruct((s * s, n * n, E_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((K_pad, B), jnp.float32)],
+        interpret=interpret,
     )
 
 
-def stiffness_pairs_pallas(X_geo, op, params, tab):
+def stiffness_pairs_pallas(X_geo, op, params, tab, *, interpret: bool = False):
     """Constant-contraction element matrices, pairs layout ``[s², n², E]``.
 
     Values match the XLA pairs path
@@ -215,7 +216,7 @@ def stiffness_pairs_pallas(X_geo, op, params, tab):
                     crows.append(D[k, i, mm, j])
     cf = jnp.stack(crows).astype(jnp.float32)  # [P*d*d] SMEM scalars
 
-    call = _build_call(m, d, s, n, q, q_pad, E_pad, sym)
+    call = _build_call(m, d, s, n, q, q_pad, E_pad, sym, interpret)
     # int64 induction vars under x64 hit Mosaic's lowering recursion
     # (CLAUDE.md): trace the call with x64 disabled
     with enable_x64(False):

@@ -280,7 +280,7 @@ def pack_block_dia_windowed(
     :func:`pack_block_dia`.
     """
     D, s, N = m.num_diagonals, m.solution_dim, m.num_nodes
-    if D == 0:
+    if D == 0 or s > 8:  # x rides in one 8-sublane tile
         return None
     offsets = tuple(int(o) for o in m.offsets)
     dps = _round_up(D * s, 8)
